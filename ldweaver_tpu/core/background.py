@@ -1,0 +1,230 @@
+"""Short-range background model + p-values.
+
+Reference: `mergeNsort_sr_links` (R/computePairwiseMI.R:400-495).  Per CDS
+diversity cluster:
+
+  1. keep links with 0 < len < sr_dist (strict, lines 416-419)
+  2. per unique distance, the 95th-percentile MI (type-7 quantile,
+     line 422; dplyr group_by sorts distances ascending)
+  3. log-log OLS fit  log(q95) ~ log(len)  (fastLm, line 428)
+  4. `mean_dist[sr_links_t$len]` (line 448) indexes the fitted vector BY
+     RAW DISTANCE VALUE, i.e. the len-th element of the per-unique-distance
+     fitted vector, NOT the fitted value at that distance.  Out-of-range
+     indexing yields NA and the link is silently dropped (lines 457-458).
+     This reference quirk is replicated exactly (fit_lookup()).
+  5. positive residuals fitted to a Beta distribution with fitdistrplus
+     defaults (MME start + Nelder-Mead MLE, line 452)
+  6. srp = -pbeta(resid, a, b, lower.tail=F, log.p=T)  (natural log
+     survival, line 453)
+  7. cross-cluster duplicates (clust1 != clust2) keep the max srp
+     (lines 460-486); sr_links_red = srp_max > srp_cutoff (line 489);
+     the ARACNE check pool is every link with MI >= min(sr_links_red$MI)
+     (line 490).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ldweaver_tpu.core.mi import LinkTable
+from ldweaver_tpu.utils.r_compat import fit_beta_mle, log_beta_sf, quantile_type7
+
+
+@dataclasses.dataclass
+class ClusterFit:
+    """Per-cluster background fit artifacts (saved like cX_fit_data.rds)."""
+
+    lens: np.ndarray  # unique distances, ascending
+    q95: np.ndarray  # 95th-percentile MI per distance
+    fitted: np.ndarray  # exp(OLS fit) per distance
+    coef: Tuple[float, float]  # (slope, intercept) of log-log fit
+    beta_shape: Tuple[float, float]
+
+
+@dataclasses.dataclass
+class SrLinks:
+    """sr link table with cluster-of-record + srp (data.frame stand-in)."""
+
+    clust_c: np.ndarray
+    pos1: np.ndarray
+    pos2: np.ndarray
+    clust1: np.ndarray
+    clust2: np.ndarray
+    len: np.ndarray
+    MI: np.ndarray
+    srp_max: np.ndarray
+    ARACNE: Optional[np.ndarray] = None
+
+    def __len__(self):
+        return self.pos1.size
+
+    def take(self, idx) -> "SrLinks":
+        return SrLinks(
+            self.clust_c[idx],
+            self.pos1[idx],
+            self.pos2[idx],
+            self.clust1[idx],
+            self.clust2[idx],
+            self.len[idx],
+            self.MI[idx],
+            self.srp_max[idx],
+            None if self.ARACNE is None else self.ARACNE[idx],
+        )
+
+
+def fit_cluster_background(lens: np.ndarray, mi: np.ndarray) -> ClusterFit:
+    """Steps 2-5 for one cluster's links (already len-filtered)."""
+    order = np.argsort(lens, kind="stable")
+    lens_sorted = lens[order]
+    mi_sorted = mi[order]
+    uniq, starts = np.unique(lens_sorted, return_index=True)
+    q95 = np.empty(uniq.size, dtype=np.float64)
+    bounds = np.append(starts, lens_sorted.size)
+    for k in range(uniq.size):
+        q95[k] = quantile_type7(mi_sorted[bounds[k] : bounds[k + 1]], 0.95)
+    # log-log OLS: log(q95) = slope*log(len) + intercept
+    X = np.column_stack([np.log(uniq), np.ones(uniq.size)])
+    coef, *_ = np.linalg.lstsq(X, np.log(q95), rcond=None)
+    fitted = np.exp(X @ coef)
+    return ClusterFit(
+        lens=uniq, q95=q95, fitted=fitted, coef=(float(coef[0]), float(coef[1])),
+        beta_shape=(np.nan, np.nan),
+    )
+
+
+def fit_lookup(fit: ClusterFit, lens: np.ndarray) -> np.ndarray:
+    """`mean_dist[len]` - R 1-based vector indexing by raw distance value,
+    NA (here NaN) when len exceeds the fitted-vector length
+    (R/computePairwiseMI.R:448; see module docstring).  R truncates
+    fractional numeric subscripts toward zero (circular distances can be
+    half-integral when g is odd), so we truncate too."""
+    idx = np.asarray(np.trunc(lens), dtype=np.int64) - 1  # 1-based -> 0-based
+    out = np.full(lens.shape, np.nan, dtype=np.float64)
+    ok = (idx >= 0) & (idx < fit.fitted.size)
+    out[ok] = fit.fitted[idx[ok]]
+    return out
+
+
+def merge_and_sort_sr_links(
+    nclust: int,
+    sr_links_per_clust: List[LinkTable],
+    sr_dist: int,
+    srp_cutoff: float,
+) -> Tuple[SrLinks, SrLinks, Dict[int, ClusterFit]]:
+    """Full mergeNsort_sr_links equivalent.
+
+    Returns (sr_links_red, sr_links_ARACNE_check, fits).
+    """
+    if nclust != len(sr_links_per_clust):
+        raise ValueError("Cluster mismatch detected, stopping!")  # :405
+
+    per_cluster_rows: List[SrLinks] = []
+    dup_rows: List[SrLinks] = []
+    fits: Dict[int, ClusterFit] = {}
+
+    for ci in range(1, nclust + 1):
+        t = sr_links_per_clust[ci - 1]
+        if len(t) == 0:
+            continue
+        keep = (
+            ~np.isnan(t.len) & (t.len < sr_dist) & (t.len > 0)
+        )  # strict, :417-419
+        t = t.take(np.flatnonzero(keep))
+        if len(t) == 0:
+            continue
+        fit = fit_cluster_background(t.len, t.MI)
+        mean_dist = fit_lookup(fit, t.len)
+        diff = t.MI - mean_dist  # NaN propagates
+        with np.errstate(invalid="ignore"):
+            pos_mask = diff > 0  # NaN -> False (R which() drops NA) :449
+        pos_idx = np.flatnonzero(pos_mask)
+        if pos_idx.size == 0:
+            continue
+        a, b = fit_beta_mle(diff[pos_idx])
+        fit.beta_shape = (a, b)
+        fits[ci] = fit
+        srp = -log_beta_sf(diff[pos_idx], a, b)  # :453
+        kept = t.take(pos_idx)
+        rows = SrLinks(
+            clust_c=np.full(pos_idx.size, ci, dtype=np.int64),
+            pos1=kept.pos1,
+            pos2=kept.pos2,
+            clust1=kept.clust1,
+            clust2=kept.clust2,
+            len=kept.len,
+            MI=kept.MI,
+            srp_max=np.asarray(srp, dtype=np.float64),
+        )
+        dup_mask = rows.clust1 != rows.clust2  # :460
+        if dup_mask.any():
+            per_cluster_rows.append(rows.take(np.flatnonzero(~dup_mask)))
+            dup_rows.append(rows.take(np.flatnonzero(dup_mask)))
+        else:
+            per_cluster_rows.append(rows)
+
+    def _concat(parts: List[SrLinks]) -> SrLinks:
+        if not parts:
+            e = np.zeros(0, dtype=np.int64)
+            f = np.zeros(0, dtype=np.float64)
+            return SrLinks(e, e.copy(), e.copy(), e.copy(), e.copy(), f, f.copy(), f.copy())
+        return SrLinks(
+            *[
+                np.concatenate([getattr(p, name) for p in parts])
+                for name in (
+                    "clust_c",
+                    "pos1",
+                    "pos2",
+                    "clust1",
+                    "clust2",
+                    "len",
+                    "MI",
+                    "srp_max",
+                )
+            ]
+        )
+
+    sr_df = _concat(per_cluster_rows)
+    dups = _concat(dup_rows)
+
+    if len(dups) > 0:
+        # data.table: group by all columns except srp_max and clust_c, keep
+        # the FIRST row achieving the group max srp (groups in first-seen
+        # order) - R/computePairwiseMI.R:478-486
+        keys = {}
+        keep_idx = []
+        key_slot = {}
+        for i in range(len(dups)):
+            key = (
+                int(dups.pos1[i]),
+                int(dups.pos2[i]),
+                int(dups.clust1[i]),
+                int(dups.clust2[i]),
+                float(dups.len[i]),
+                float(dups.MI[i]),
+            )
+            if key not in keys:
+                keys[key] = i
+                key_slot[key] = len(keep_idx)
+                keep_idx.append(i)
+            else:
+                j = keys[key]
+                if dups.srp_max[i] > dups.srp_max[j]:
+                    # which.max keeps the first max - strict improvement
+                    keep_idx[key_slot[key]] = i
+                    keys[key] = i
+        sel = np.array(keep_idx, dtype=np.int64)
+        merged = _concat([sr_df, dups.take(sel)])
+    else:
+        merged = sr_df
+
+    red_mask = merged.srp_max > srp_cutoff  # strict, :489
+    sr_links_red = merged.take(np.flatnonzero(red_mask))
+    if len(sr_links_red) > 0:
+        min_mi = sr_links_red.MI.min()
+        check = merged.take(np.flatnonzero(merged.MI >= min_mi))  # :490
+    else:
+        check = sr_links_red
+    return sr_links_red, check, fits
