@@ -1,0 +1,236 @@
+"""Visualisation layer (reference L7) - matplotlib equivalents of the
+ggplot2/heatmap3/igraph outputs:
+
+  * make_gwes_plots          (R/prepareGWESplots.R:25-126)
+  * cluster fit plots        (R/computePairwiseMI.R:430-440)
+  * CDS clustering plot      (R/estimateCDSDiversity.R:212-221)
+  * genomewide_LDMap         (R/LDSummaryPlot.R:25-131)
+  * lr gwes plot             (R/lr_analyser.R:117-127)
+  * create_network           (R/createNetworkPlot.R:28-144)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def plot_cluster_fit(fit, cluster_id: int, path: str) -> None:
+    """q95-vs-distance decay fit (cX_fit.png, R/computePairwiseMI.R:430-440)."""
+    fig, ax = plt.subplots(figsize=(7.3, 4.0), dpi=300)
+    ax.scatter(fit.lens, fit.q95, s=4, c="black")
+    ax.plot(fit.lens, fit.fitted, c="red", lw=1)
+    ax.set_title(f"Clust {cluster_id}")
+    ax.set_xlabel("Basepair separation")
+    ax.set_ylabel("MI (95th percentile)")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def plot_cds_clusters(cds_var, path: str) -> None:
+    """Diversity-vs-position scatter coloured by cluster
+    (R/estimateCDSDiversity.R:212-221)."""
+    fig, ax = plt.subplots(figsize=(7.3, 4.0), dpi=300)
+    labels = cds_var.clusts.km_clst_ord
+    for ci in np.unique(labels):
+        sel = labels == ci
+        ax.scatter(
+            cds_var.cds_start[sel],
+            cds_var.var_estimate[sel],
+            s=6,
+            label=f"{ci}",
+        )
+    ax.set_xlabel("Genomic starting position of CDS")
+    ax.set_ylabel("Diversity within CDS")
+    ax.legend(title="Cluster", fontsize=7)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def make_gwes_plots(sr_links, plt_folder: str, are_srlinks_ordered=False) -> None:
+    """SR GWES scatter plots: per-cluster facets + combined
+    (R/prepareGWESplots.R:96-124).  ARACNE==0 greyed; colour = srp_max."""
+    os.makedirs(plt_folder, exist_ok=True)
+    order = np.argsort(-sr_links.srp_max, kind="stable")
+    lens = sr_links.len[order][::-1]
+    mi = sr_links.MI[order][::-1]
+    srp = sr_links.srp_max[order][::-1]
+    ar = sr_links.ARACNE[order][::-1]
+    cc = sr_links.clust_c[order][::-1]
+
+    def scatter(ax, sel):
+        bg = sel & (ar == 0)
+        fg = sel & (ar == 1)
+        ax.scatter(lens[bg], mi[bg], s=3, c="#C0C0C0")
+        sc = ax.scatter(
+            lens[fg], mi[fg], s=3, c=srp[fg], cmap="RdYlBu_r"
+        )
+        ax.set_xlabel("Basepair separation")
+        return sc
+
+    clusts = np.unique(cc)
+    fig, axes = plt.subplots(
+        1, max(1, len(clusts)), figsize=(7.3, 4.0), dpi=300, squeeze=False
+    )
+    for k, ci in enumerate(clusts):
+        sc = scatter(axes[0][k], cc == ci)
+        axes[0][k].set_title(f"{ci}")
+    if len(clusts):
+        fig.colorbar(sc, ax=axes[0][-1], label="srp_max")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plt_folder, "sr_gwes_clust.png"))
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(7.3, 4.0), dpi=300)
+    sc = scatter(ax, np.ones(lens.size, dtype=bool))
+    fig.colorbar(sc, ax=ax, label="srp_max")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plt_folder, "sr_gwes_combi.png"))
+    plt.close(fig)
+
+
+def plot_lr_gwes(lr_links, outer_threshold: float, path: str) -> None:
+    """LR GWES plot: indirect grey, direct blue, threshold line
+    (R/lr_analyser.R:119-127)."""
+    fig, ax = plt.subplots(figsize=(12, 3.2), dpi=300)
+    ar = lr_links["ARACNE"].to_numpy()
+    lens = lr_links["len"].to_numpy()
+    mi = lr_links["MI"].to_numpy()
+    ax.scatter(lens[ar == 0], mi[ar == 0], s=3, c="#C0C0C0")
+    ax.scatter(lens[ar == 1], mi[ar == 1], s=3, c="#0868ac")
+    ax.axhline(outer_threshold, color="#db4325", lw=1)
+    ax.set_xlabel("Basepair separation")
+    ax.set_ylabel("MI")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def genomewide_ld_map(
+    lr_links,
+    sr_links,
+    plot_save_path: str,
+    reducer: Optional[int] = None,
+    plot_title: Optional[str] = None,
+) -> None:
+    """Bird's-eye LD heatmap (R/LDSummaryPlot.R:25-131): links -> symmetric
+    sparse matrix over the involved positions, banded aggregation by
+    `reducer`, log10 + 0-1 rescale, heatmap."""
+    pos_vec = np.unique(
+        np.concatenate(
+            [
+                lr_links["pos1"].to_numpy(),
+                lr_links["pos2"].to_numpy(),
+                sr_links["pos1"].to_numpy(),
+                sr_links["pos2"].to_numpy(),
+            ]
+        )
+    )
+    n = pos_vec.size
+    lut = {int(p): i for i, p in enumerate(pos_vec)}
+    if reducer is None:
+        reducer = max(1, int(round(n / 1e3)))  # :89
+    nb = max(1, n // reducer)
+    acc = np.zeros((nb, nb), dtype=np.float64)
+
+    def accumulate(df):
+        i = np.array([lut[int(p)] for p in df["pos1"]]) // reducer
+        j = np.array([lut[int(p)] for p in df["pos2"]]) // reducer
+        i = np.minimum(i, nb - 1)
+        j = np.minimum(j, nb - 1)
+        np.add.at(acc, (i, j), df["MI"].to_numpy())
+        np.add.at(acc, (j, i), df["MI"].to_numpy())
+
+    if len(lr_links):
+        accumulate(lr_links)
+    if len(sr_links):
+        accumulate(sr_links)
+    htm = np.log10(acc / max(reducer, 1) ** 2 + 1e-5)  # :101,116
+    rng = htm.max() - htm.min()
+    if rng > 0:
+        htm = (htm - htm.min()) / rng  # .rescale01, :157-163
+    fig, ax = plt.subplots(figsize=(8.3, 8.75), dpi=300)
+    cmap = matplotlib.colors.LinearSegmentedColormap.from_list(
+        "ld", ["white", "#E1B9B4", "#AE452C", "#802418"]
+    )
+    ax.imshow(htm, cmap=cmap, origin="upper", interpolation="nearest")
+    ax.set_title(plot_title or "Genomewide LD plot")
+    ticks = np.linspace(0, nb - 1, min(10, nb)).astype(int)
+    ax.set_xticks(ticks)
+    ax.set_xticklabels(
+        [str(int(pos_vec[min(t * reducer, n - 1)])) for t in ticks],
+        rotation=90,
+        fontsize=6,
+    )
+    ax.set_yticks(ticks)
+    ax.set_yticklabels(
+        [str(int(pos_vec[min(t * reducer, n - 1)])) for t in ticks], fontsize=6
+    )
+    fig.tight_layout()
+    fig.savefig(plot_save_path)
+    plt.close(fig)
+
+
+def create_network(tophits, netplot_path: str, plot_title: str = "") -> None:
+    """Gene-level arc/network plot of tophits (R/createNetworkPlot.R:28-144):
+    aggregate links to gene pairs, drop self-loops, draw an arc diagram with
+    node size ~ degree and edge width ~ max MI."""
+    import collections
+
+    pairs = collections.Counter()
+    weight: Dict = {}
+    for _, row in tophits.iterrows():
+        g1 = str(row["pos1_genreg"])
+        g2 = str(row["pos2_genreg"])
+        if g1 == g2:
+            continue  # loop-drop (:76-82)
+        key = tuple(sorted((g1, g2)))
+        pairs[key] += 1
+        weight[key] = max(weight.get(key, 0.0), float(row["MI"]))
+    if not pairs:
+        return
+    genes = sorted({g for k in pairs for g in k})
+    xpos = {g: i for i, g in enumerate(genes)}
+    deg = collections.Counter()
+    for (a, b), c in pairs.items():
+        deg[a] += c
+        deg[b] += c
+    fig, ax = plt.subplots(figsize=(max(6, len(genes) * 0.4), 4.0), dpi=300)
+    wmax = max(weight.values())
+    for (a, b), c in pairs.items():
+        x1, x2 = xpos[a], xpos[b]
+        xm, r = (x1 + x2) / 2, abs(x2 - x1) / 2
+        th = np.linspace(0, np.pi, 50)
+        ax.plot(
+            xm + r * np.cos(th),
+            r * np.sin(th) / max(1, len(genes) / 6),
+            lw=0.5 + 2.5 * weight[(a, b)] / wmax,
+            c="#0868ac",
+            alpha=0.6,
+        )
+    for g in genes:
+        ax.scatter(xpos[g], 0, s=20 + 10 * deg[g], c="#db4325", zorder=3)
+        ax.annotate(
+            g,
+            (xpos[g], 0),
+            rotation=90,
+            fontsize=6,
+            ha="center",
+            va="top",
+            xytext=(0, -8),
+            textcoords="offset points",
+        )
+    ax.set_title(plot_title, fontsize=9)
+    ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(netplot_path)
+    plt.close(fig)
