@@ -1,0 +1,191 @@
+"""Headline benchmark: SNP-pairs/s/chip for the all-vs-all MI sweep.
+
+Prints ONE JSON line:
+  {"metric": "snp_pairs_per_s_per_chip", "value": N, "unit": "pairs/s",
+   "vs_baseline": R}
+
+The workload is the pipeline's hot core (BASELINE.md): a blocked all-vs-all
+sweep of the Hamming-weighted 5-allele contingency MI statistic
+(reference: R/computePairwiseMI.R:167-398 + src/computeMI.cpp:11-21) over a
+synthetic nsnp x nseq SNP tensor.  The device sweep runs entirely
+on-chip (lax.scan over block pairs, top-k + histogram reduction) with a
+single host pull at the end - the axon relay's host-transfer latency is
+high and variable, so per-tile host timing would be meaningless.
+
+vs_baseline: the reference implementation is 64-thread OpenMP + BLAS on
+CPU (no published numbers exist - BASELINE.md).  We measure a faithful
+torch-CPU transliteration of the reference's per-block computation (25
+dense sgemm contingency matmuls + the fastHadamard elementwise log pass)
+on this host and scale linearly to 64 threads (generous to the baseline),
+then report tpu_pairs_per_s / scaled_cpu_pairs_per_s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+NSEQ = int(os.environ.get("BENCH_NSEQ", 1024))
+NSNP = int(os.environ.get("BENCH_NSNP", 49152))
+BLOCK = int(os.environ.get("BENCH_BLOCK", 4096))
+SR_DIST = 20000
+G = 2_200_000  # S. pneumoniae-scale genome
+BASELINE_THREADS = 64
+
+
+def synth(nsnp, nseq, seed=0):
+    rng = np.random.default_rng(seed)
+    # allele codes with realistic skew: mostly biallelic sites
+    major = rng.integers(0, 4, size=nsnp)
+    minor = (major + rng.integers(1, 4, size=nsnp)) % 4
+    maf = rng.uniform(0.02, 0.5, size=nsnp)
+    u = rng.random((nseq, nsnp))
+    codes = np.where(u < maf[None, :], minor[None, :], major[None, :]).astype(
+        np.uint8
+    )
+    ncells = rng.random((nseq, nsnp)) < 0.01
+    codes[ncells] = 4
+    pos = np.sort(
+        rng.choice(np.arange(1, G + 1), size=nsnp, replace=False)
+    ).astype(np.int64)
+    acgtn = np.zeros((5, nsnp), np.int64)
+    for k in range(5):
+        acgtn[k] = (codes == k).sum(axis=0)
+    uqe = (acgtn > 0).astype(np.uint8).T
+    r = uqe.sum(axis=1).astype(np.int32)
+    w = rng.uniform(0.05, 0.5, size=nseq)
+    return codes, pos, uqe, r, w
+
+
+def bench_tpu(codes, pos, uqe, r, w):
+    import jax
+    import jax.numpy as jnp
+
+    from ldweaver_tpu.parallel.sweep import (
+        block_pair_list,
+        build_sharded_sweep,
+        get_mesh,
+        pad_pairs,
+        pad_snp_tensor,
+    )
+
+    mesh = get_mesh()  # all local devices (1 chip under the relay)
+    nsh = mesh.devices.size
+    codes_p, pos_p, r_p, uqe_p, valid = pad_snp_tensor(
+        codes, pos, r, uqe, BLOCK
+    )
+    pairs = block_pair_list(codes_p.shape[1], BLOCK)
+    pairs, pair_valid = pad_pairs(pairs, nsh)
+    fn = build_sharded_sweep(
+        mesh, BLOCK, codes.shape[0], SR_DIST, G, topk=1024
+    )
+    args = (
+        jnp.asarray(codes_p),
+        jnp.asarray(w, jnp.float32),
+        jnp.asarray(r_p, jnp.float32),
+        jnp.asarray(uqe_p, jnp.float32),
+        jnp.asarray(pos_p, jnp.int32),
+        jnp.asarray(valid),
+        jnp.asarray(pairs),
+        jnp.asarray(pair_valid),
+        jnp.asarray(np.float32(w.sum())),
+    )
+    with mesh:
+        # warmup/compile
+        mv, ms, mx, hist = fn(*args)
+        float(np.asarray(mv)[0])
+        t0 = time.time()
+        mv, ms, mx, hist = fn(*args)
+        # single host pull forces completion of the whole sweep
+        _ = np.asarray(mv)
+        _ = np.asarray(hist)
+        wall = time.time() - t0
+
+    nsnp = codes.shape[1]
+    # emitted pair count: diagonal blocks i>j, off-diagonal i!=j (the
+    # reference drops in-block-diagonal pairs; count what was computed)
+    nb = codes_p.shape[1] // BLOCK
+    pairs_count = 0
+    for i in range(nb):
+        for j in range(i, nb):
+            if i == j:
+                pairs_count += BLOCK * (BLOCK - 1) // 2
+            else:
+                pairs_count += BLOCK * BLOCK - BLOCK
+    return pairs_count / wall, wall, pairs_count
+
+
+def bench_cpu_reference(codes, uqe, r, w, block=1024, n_tiles=2):
+    """Faithful torch-CPU transliteration of the reference block kernel:
+    per allele pair an sgemm contingency count + the elementwise
+    MI += uq*pxy/den*log(pxy/denom*den) pass (src/computeMI.cpp:19)."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count())
+    S = codes.shape[0]
+    neff = float(w.sum())
+    t_total = 0.0
+    pairs = 0
+    for t in range(n_tiles):
+        sl = slice(t * block, (t + 1) * block)
+        c = torch.from_numpy(np.ascontiguousarray(codes[:, sl].T))
+        wt = torch.from_numpy(np.sqrt(w)).float()
+        rr = torch.from_numpy(r[sl].astype(np.float32))
+        uq = torch.from_numpy(uqe[sl].astype(np.float32))
+        t0 = time.time()
+        # the reference weights both sides by sqrt(hdw)
+        # (R/computePairwiseMI.R:238-257)
+        slabs = [((c == a).float() * wt) for a in range(5)]
+        pXs = [(m * m).sum(1) for m in slabs]
+        den = neff + 0.5 * torch.outer(rr, rr)
+        rxy = 0.25 * torch.outer(rr, rr)
+        mi = torch.zeros((block, block))
+        for x in range(5):
+            pxr = pXs[x] * 0.5 * rr
+            for y in range(5):
+                pxy = slabs[x] @ slabs[y].T + 0.5
+                denom = (
+                    torch.outer(pXs[x], pXs[y])
+                    + rxy
+                    + pxr[:, None]
+                    + (pXs[y] * 0.5 * rr)[None, :]
+                )
+                uqm = torch.outer(uq[:, x], uq[:, y])
+                mi += uqm * pxy / den * torch.log(pxy / denom * den)
+        _ = float(mi.sum())
+        t_total += time.time() - t0
+        pairs += block * block
+    return pairs / t_total
+
+
+def main():
+    codes, pos, uqe, r, w = synth(NSNP, NSEQ)
+    tpu_rate, wall, pairs_count = bench_tpu(codes, pos, uqe, r, w)
+
+    cpu_rate = bench_cpu_reference(codes, uqe, r, w)
+    ncpu = os.cpu_count() or 1
+    cpu_rate_64t = cpu_rate * (BASELINE_THREADS / ncpu)
+
+    result = {
+        "metric": "snp_pairs_per_s_per_chip",
+        "value": round(tpu_rate, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(tpu_rate / cpu_rate_64t, 2),
+        "detail": {
+            "nsnp": NSNP,
+            "nseq": NSEQ,
+            "block": BLOCK,
+            "pairs": pairs_count,
+            "sweep_wall_s": round(wall, 3),
+            "cpu_pairs_per_s_measured": round(cpu_rate, 1),
+            "cpu_threads_measured": ncpu,
+            "baseline_threads_assumed": BASELINE_THREADS,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

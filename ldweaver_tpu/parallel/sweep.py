@@ -76,12 +76,56 @@ def pad_pairs(pairs: np.ndarray, n_shards: int) -> Tuple[np.ndarray, np.ndarray]
     return pairs, valid
 
 
-def _tile_mi(codes_f, codes_t, w, r_f, r_t, uq_f, uq_t, neff):
+def _split_bf16(w32, terms: int):
+    """Split a float32 vector into `terms` bfloat16 pieces whose f32 sum
+    reconstructs ~8*terms mantissa bits.  One-hot slabs are exact in bf16,
+    so weighted contingency counts from bf16 MXU passes with f32
+    accumulation recover near-f32 precision at bf16 matmul rate (the MXU
+    is ~8x faster in bf16 than emulated-f32 on v5e)."""
+    import jax.numpy as jnp
+
+    parts = []
+    resid = w32
+    for _ in range(terms):
+        p = resid.astype(jnp.bfloat16)
+        parts.append(p)
+        resid = resid - p.astype(jnp.float32)
+    return parts
+
+
+def _contingency_dot(codes_f, codes_t, w32, x, y, precision: str):
+    """Weighted contingency counts n_XY = sum_s w_s 1[f=x] 1[t=y] for one
+    allele pair, as MXU matmul(s).  precision:
+      'bf16'   - single bf16 pass (weights rounded to 8 mantissa bits)
+      'bf16x3' - 3-term bf16 split of w, f32 accumulation (~f32 exact)
+      'f32'    - float32 with Precision.HIGHEST (slow emulated path)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if precision == "f32":
+        lhs = (codes_f == x).astype(jnp.float32) * w32
+        rhs = (codes_t == y).astype(jnp.float32)
+        return jax.lax.dot(
+            lhs, rhs.T, precision=jax.lax.Precision.HIGHEST
+        )
+    rhs = (codes_t == y).astype(jnp.bfloat16)
+    terms = 1 if precision == "bf16" else 3
+    onehot_f = codes_f == x
+    acc = None
+    for wp in _split_bf16(w32, terms):
+        lhs = jnp.where(onehot_f, wp, jnp.bfloat16(0))
+        d = jax.lax.dot(lhs, rhs.T, preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _tile_mi(codes_f, codes_t, w, r_f, r_t, uq_f, uq_t, neff,
+             precision: str = "bf16x3"):
     """On-device MI tile; same math as core.mi.mi_tile_jax but taking
     already-sliced operands (used inside scan bodies).  RXY uses the
     square-tile compat aliasing 0.25*r_f[t]*r_t[f] (valid because padded
     blocks are uniform B x B - see core/mi.py docstring)."""
-    import jax
     import jax.numpy as jnp
 
     f32 = jnp.float32
@@ -91,17 +135,12 @@ def _tile_mi(codes_f, codes_t, w, r_f, r_t, uq_f, uq_t, neff):
     den = neff + 0.5 * jnp.outer(rf32, rt32)
     rxy = 0.25 * jnp.outer(rt32, rf32)  # square-tile aliasing (compat)
     mi = jnp.zeros((codes_f.shape[0], codes_t.shape[0]), dtype=f32)
-    wXf = [(codes_f == a).astype(f32) * w32 for a in range(5)]
-    Yt = [(codes_t == a).astype(f32) for a in range(5)]
-    pX = [m.sum(axis=1) for m in wXf]
-    pY = [(y * w32).sum(axis=1) for y in Yt]
+    pX = [((codes_f == a).astype(f32) * w32).sum(axis=1) for a in range(5)]
+    pY = [((codes_t == a).astype(f32) * w32).sum(axis=1) for a in range(5)]
     for x in range(5):
         pxr = pX[x] * (0.5 * rf32)
         for y in range(5):
-            pxy = (
-                jax.lax.dot(wXf[x], Yt[y].T, precision=jax.lax.Precision.HIGHEST)
-                + 0.5
-            )
+            pxy = _contingency_dot(codes_f, codes_t, w32, x, y, precision) + 0.5
             denom = (
                 jnp.outer(pX[x], pY[y])
                 + rxy
@@ -122,6 +161,7 @@ def build_sharded_sweep(
     topk: int,
     hist_bins: int = 256,
     hist_max: float = 4.0,
+    precision: str = "bf16x3",
 ):
     """Compile the sharded sweep step.
 
@@ -162,7 +202,8 @@ def build_sharded_sweep(
             val_f = jax.lax.dynamic_slice(valid, (fs,), (block,))
             val_t = jax.lax.dynamic_slice(valid, (ts,), (block,))
 
-            mi = _tile_mi(codes_f, codes_t, w, r_f, r_t, uq_f, uq_t, neff)
+            mi = _tile_mi(codes_f, codes_t, w, r_f, r_t, uq_f, uq_t, neff,
+                          precision=precision)
 
             ii = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
             jj = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
