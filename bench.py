@@ -60,60 +60,37 @@ def synth(nsnp, nseq, seed=0):
 
 
 def bench_tpu(codes, pos, uqe, r, w):
-    import jax
-    import jax.numpy as jnp
+    """Time the fast rank-compacted sweep (the production fast path).
 
-    from ldweaver_tpu.parallel.sweep import (
-        block_pair_list,
-        build_sharded_sweep,
-        get_mesh,
-        pad_pairs,
-        pad_snp_tensor,
-    )
+    The first call compiles + runs every bucket; the timed second call is
+    pure execution (all shapes identical)."""
+    from ldweaver_tpu.core.snp_tensor import SnpData
 
-    mesh = get_mesh()  # all local devices (1 chip under the relay)
-    nsh = mesh.devices.size
-    codes_p, pos_p, r_p, uqe_p, valid = pad_snp_tensor(
-        codes, pos, r, uqe, BLOCK
+    acgtn = np.zeros((5, codes.shape[1]), np.int64)
+    for k in range(5):
+        acgtn[k] = (codes == k).sum(axis=0)
+    sd = SnpData(
+        codes=codes,
+        pos=pos,
+        g=G,
+        seq_names=[str(i) for i in range(codes.shape[0])],
+        acgtn_table=acgtn,
+        uqe=uqe,
+        r=r,
     )
-    pairs = block_pair_list(codes_p.shape[1], BLOCK)
-    pairs, pair_valid = pad_pairs(pairs, nsh)
-    fn = build_sharded_sweep(
-        mesh, BLOCK, codes.shape[0], SR_DIST, G, topk=1024
+    from ldweaver_tpu.parallel.fast_sweep import fast_lr_topk
+
+    # warmup/compile all buckets
+    fast_lr_topk(sd, w, block=BLOCK, sr_dist=SR_DIST, topk=1024)
+    t0 = time.time()
+    pos1, pos2, mi = fast_lr_topk(
+        sd, w, block=BLOCK, sr_dist=SR_DIST, topk=1024
     )
-    args = (
-        jnp.asarray(codes_p),
-        jnp.asarray(w, jnp.float32),
-        jnp.asarray(r_p, jnp.float32),
-        jnp.asarray(uqe_p, jnp.float32),
-        jnp.asarray(pos_p, jnp.int32),
-        jnp.asarray(valid),
-        jnp.asarray(pairs),
-        jnp.asarray(pair_valid),
-        jnp.asarray(np.float32(w.sum())),
-    )
-    with mesh:
-        # warmup/compile
-        mv, ms, mx, hist = fn(*args)
-        float(np.asarray(mv)[0])
-        t0 = time.time()
-        mv, ms, mx, hist = fn(*args)
-        # single host pull forces completion of the whole sweep
-        _ = np.asarray(mv)
-        _ = np.asarray(hist)
-        wall = time.time() - t0
+    wall = time.time() - t0
+    assert np.isfinite(mi).all() and mi.size > 0
 
     nsnp = codes.shape[1]
-    # emitted pair count: diagonal blocks i>j, off-diagonal i!=j (the
-    # reference drops in-block-diagonal pairs; count what was computed)
-    nb = codes_p.shape[1] // BLOCK
-    pairs_count = 0
-    for i in range(nb):
-        for j in range(i, nb):
-            if i == j:
-                pairs_count += BLOCK * (BLOCK - 1) // 2
-            else:
-                pairs_count += BLOCK * BLOCK - BLOCK
+    pairs_count = nsnp * (nsnp - 1) // 2
     return pairs_count / wall, wall, pairs_count
 
 

@@ -151,6 +151,97 @@ def sweep_block_pair(
                 )
 
 
+def sweep_block_pair_fast(
+    ranked,
+    paint_sorted: np.ndarray,
+    valid: np.ndarray,
+    hdw: np.ndarray,
+    neff: float,
+    g: int,
+    bi: int,
+    bj: int,
+    sr_dist: int,
+    lr_retain_links: float,
+    lr_links_approx: Optional[float],
+    sr_links: List[LinkTable],
+    lr_rows_sink: Callable,
+):
+    """Fast-path block pair: rank-compacted tile + host extraction.
+
+    Unlike the compat path, off-diagonal block pairs KEEP their in-block
+    diagonal pairs (the reference drops them - a quirk, not a feature)."""
+    from ldweaver_tpu.parallel.fast_sweep import mi_tile_rank
+
+    B = ranked.block
+    f_sl = slice(bi * B, (bi + 1) * B)
+    t_sl = slice(bj * B, (bj + 1) * B)
+    codes_f = np.ascontiguousarray(ranked.rank_codes[:, f_sl].T)
+    codes_t = np.ascontiguousarray(ranked.rank_codes[:, t_sl].T)
+    r_f = ranked.r[f_sl]
+    r_t = ranked.r[t_sl]
+    mi = mi_tile_rank(codes_f, codes_t, hdw, r_f, r_t, neff)
+
+    pos_f = ranked.pos[f_sl]
+    pos_t = ranked.pos[t_sl]
+    paint_f = paint_sorted[f_sl]
+    paint_t = paint_sorted[t_sl]
+    val_f = valid[f_sl]
+    val_t = valid[t_sl]
+
+    if bi == bj:
+        ii, jj = np.tril_indices(B, -1)
+    else:
+        ii, jj = np.meshgrid(np.arange(B), np.arange(B), indexing="ij")
+        ii = ii.ravel()
+        jj = jj.ravel()
+    ok = val_f[ii] & val_t[jj]
+    ii, jj = ii[ok], jj[ok]
+    if ii.size == 0:
+        return
+
+    pos2 = pos_f[ii]
+    pos1 = pos_t[jj]
+    clust2 = paint_f[ii]
+    clust1 = paint_t[jj]
+    # normalise orientation to pos1 < pos2 (the r-stratified permutation
+    # makes raw emission orientation arbitrary; the reference's diagonal
+    # blocks emit pos1 < pos2 - R/computePairwiseMI.R:306-320)
+    swap = pos1 > pos2
+    pos1_n = np.where(swap, pos2, pos1)
+    pos2_n = np.where(swap, pos1, pos2)
+    clust1_n = np.where(swap, clust2, clust1)
+    clust2_n = np.where(swap, clust1, clust2)
+    pos1, pos2, clust1, clust2 = pos1_n, pos2_n, clust1_n, clust2_n
+    lens = circular_len(pos1, pos2, g)
+    vals = mi[ii, jj]
+
+    sr_mask = lens <= sr_dist
+    lr_mask = ~sr_mask
+    if lr_mask.any() and lr_links_approx is not None:
+        lrv = vals[lr_mask]
+        prob = max(0.0, 1.0 - lr_retain_links / lr_links_approx)
+        disc_thresh = quantile_type7(lrv, prob)
+        keep = lrv >= disc_thresh
+        if keep.any():
+            sel = np.flatnonzero(lr_mask)[keep]
+            lr_rows_sink(
+                pos1[sel], pos2[sel], clust1[sel], clust2[sel],
+                lens[sel], vals[sel],
+            )
+    if sr_mask.any():
+        sel = np.flatnonzero(sr_mask)
+        t = LinkTable(
+            pos1=pos1[sel], pos2=pos2[sel], clust1=clust1[sel],
+            clust2=clust2[sel], len=lens[sel], MI=vals[sel],
+        )
+        for ci in range(1, len(sr_links) + 1):
+            m = (t.clust1 == ci) | (t.clust2 == ci)
+            if m.any():
+                sr_links[ci - 1] = LinkTable.concat(
+                    [sr_links[ci - 1], t.take(np.flatnonzero(m))]
+                )
+
+
 def perform_mi_computation(
     snp_data: SnpData,
     hdw: np.ndarray,
@@ -207,32 +298,67 @@ def perform_mi_computation(
             ),
         )
 
-    for bi in range(blocks.shape[0]):
-        t0 = time.time()
-        fs, fe, ts, te = (int(v) for v in blocks[bi])
-        sweep_block_pair(
-            snp_data,
-            np.asarray(hdw, dtype=np.float64),
-            cds_var.paint,
-            neff,
-            fs,
-            fe,
-            ts,
-            te,
-            sr_dist,
-            lr_retain_links,
-            lr_links_approx,
-            sr_links,
-            lr_sink,
-            backend=backend,
-            rxy_compat=rxy_compat,
-            perform_sr_only=perform_sr_analysis_only,
+    if backend == "fast":
+        # rank-compacted, r-stratified fast path (see parallel/fast_sweep)
+        from ldweaver_tpu.parallel.fast_sweep import stratify
+
+        blk = min(max_blk_sz, 1 << int(np.ceil(np.log2(max(snp_data.nsnp, 2)))))
+        ranked = stratify(
+            snp_data.codes, snp_data.acgtn_table, snp_data.pos, snp_data.r, blk
         )
-        if verbose:
-            print(
-                f"Block {bi + 1} of {blocks.shape[0]} ... "
-                f"done in {time.time() - t0:.2f} s"
+        paint_sorted = np.concatenate(
+            [
+                cds_var.paint[ranked.perm],
+                np.zeros(ranked.pos.size - snp_data.nsnp, dtype=np.int64),
+            ]
+        )
+        valid = np.arange(ranked.pos.size) < snp_data.nsnp
+        nb = ranked.rank_codes.shape[1] // ranked.block
+        hdw64 = np.asarray(hdw, dtype=np.float64)
+        k = 0
+        npairs_total = nb * (nb + 1) // 2
+        for bi in range(nb):
+            for bj in range(bi, nb):
+                t0 = time.time()
+                sweep_block_pair_fast(
+                    ranked, paint_sorted, valid, hdw64, neff, snp_data.g,
+                    bi, bj, sr_dist, lr_retain_links,
+                    None if perform_sr_analysis_only else lr_links_approx,
+                    sr_links, lr_sink,
+                )
+                k += 1
+                if verbose:
+                    print(
+                        f"Block {k} of {npairs_total} ... "
+                        f"done in {time.time() - t0:.2f} s"
+                    )
+    else:
+        for bi in range(blocks.shape[0]):
+            t0 = time.time()
+            fs, fe, ts, te = (int(v) for v in blocks[bi])
+            sweep_block_pair(
+                snp_data,
+                np.asarray(hdw, dtype=np.float64),
+                cds_var.paint,
+                neff,
+                fs,
+                fe,
+                ts,
+                te,
+                sr_dist,
+                lr_retain_links,
+                lr_links_approx,
+                sr_links,
+                lr_sink,
+                backend=backend,
+                rxy_compat=rxy_compat,
+                perform_sr_only=perform_sr_analysis_only,
             )
+            if verbose:
+                print(
+                    f"Block {bi + 1} of {blocks.shape[0]} ... "
+                    f"done in {time.time() - t0:.2f} s"
+                )
 
     sr_links_red, sr_check, fits = merge_and_sort_sr_links(
         nclust, sr_links, sr_dist, srp_cutoff

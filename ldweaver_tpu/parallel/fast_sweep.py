@@ -1,0 +1,411 @@
+"""Rank-compacted, r-stratified MI sweep - the speed-of-light fast path.
+
+Two structural observations cut the reference's 25-matmul / 25-log
+per-block-pair cost (R/computePairwiseMI.R:270-298) by an order of
+magnitude:
+
+  1. **Allele-rank compaction.** The MI statistic is permutation-
+     invariant over allele identity: it only consumes the contingency
+     counts n_XY, the marginals n_X, the distinct-allele counts r and the
+     presence gates uq (section 2.3 of SURVEY.md).  Re-encoding each
+     site's alleles by frequency rank (0 = major allele) compresses the
+     5-allele axis to the site's actual r <= 5 alleles with no loss.
+
+  2. **Marginal closure.** sum_y n_XY = n_X exactly (every sequence
+     carries exactly one allele class per site), so the last rank row and
+     column of each contingency tile derive from the marginals: only
+     (r_f - 1) * (r_t - 1) contingency matmuls are needed.
+
+Stratifying SNPs by r (a stable sort) makes blocks r-homogeneous, so each
+block-pair compiles with static (Rf, Rt): a biallelic x biallelic tile -
+the dominant case in real data - needs ONE matmul and 4 log terms instead
+of 25 and 25.
+
+Parity note: this fast path intentionally diverges from two reference
+quirks (use parallel/sweep.py or the core engine for exact compat):
+  * block composition differs (r-stratified vs contiguous), so the
+    per-block LR retention quantiles differ slightly;
+  * off-diagonal block pairs keep their in-block-diagonal pairs (the
+    reference silently drops them, R/computePairwiseMI.R:309) and RXY is
+    the mathematically-intended 0.25*r_f*r_t (not the transposed alias).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Host-side rank compaction + stratification
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class RankedSnps:
+    rank_codes: np.ndarray  # [nseq, nsnp] uint8 (0..r-1, sorted by r)
+    pos: np.ndarray  # [nsnp] permuted genome positions
+    r: np.ndarray  # [nsnp] permuted distinct-allele counts (ascending)
+    perm: np.ndarray  # sorted-order -> original-site index
+    block: int
+    block_rmax: np.ndarray  # [nb] max r within each block
+
+
+def rank_encode(codes: np.ndarray, acgtn_table: np.ndarray) -> np.ndarray:
+    """Map each site's alleles to frequency ranks (0 = most frequent;
+    count ties broken by allele index, deterministic)."""
+    nseq, nsnp = codes.shape
+    # order alleles per site by (-count, allele); rank_of[site, allele]
+    order = np.argsort(
+        -(acgtn_table.T * 8 - np.arange(5)[None, :]), axis=1, kind="stable"
+    )  # [nsnp, 5] allele ids in rank order
+    rank_of = np.empty((nsnp, 5), dtype=np.uint8)
+    np.put_along_axis(
+        rank_of, order, np.arange(5, dtype=np.uint8)[None, :].repeat(nsnp, 0), axis=1
+    )
+    return rank_of[np.arange(nsnp)[None, :], codes]
+
+
+def stratify(
+    codes: np.ndarray,
+    acgtn_table: np.ndarray,
+    pos: np.ndarray,
+    r: np.ndarray,
+    block: int,
+) -> RankedSnps:
+    """Rank-encode + stable-sort sites by r + pad to a block multiple.
+
+    Padded sites get r=1 (single-allele: every contingency count lands in
+    rank 0 and the uq gate x<r kills all but the (0,0) term, whose
+    pxy/denom ratio contributes log(~1) ~ 0 ... they are additionally
+    masked out by `valid` downstream)."""
+    rank_codes = rank_encode(codes, acgtn_table)
+    perm = np.argsort(r, kind="stable")
+    rank_codes = np.ascontiguousarray(rank_codes[:, perm])
+    pos_s = pos[perm]
+    r_s = r[perm].astype(np.int32)
+
+    nsnp = pos_s.size
+    npad = (-nsnp) % block
+    if npad:
+        nseq = codes.shape[0]
+        rank_codes = np.concatenate(
+            [rank_codes, np.zeros((nseq, npad), np.uint8)], axis=1
+        )
+        pos_s = np.concatenate([pos_s, np.zeros(npad, pos_s.dtype)])
+        r_s = np.concatenate([r_s, np.ones(npad, np.int32)])
+    nb = rank_codes.shape[1] // block
+    block_rmax = np.array(
+        [int(r_s[i * block : (i + 1) * block].max()) for i in range(nb)],
+        dtype=np.int32,
+    )
+    return RankedSnps(
+        rank_codes=rank_codes,
+        pos=pos_s,
+        r=r_s,
+        perm=perm,
+        block=block,
+        block_rmax=block_rmax,
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-compacted MI tile (static Rf, Rt)
+# --------------------------------------------------------------------------
+def _rank_tile_mi(codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt,
+                  precision_terms: int):
+    """[B,B] MI tile over rank codes with (Rf-1)(Rt-1) matmuls.
+
+    uq gating is implicit: rank x occurs iff x < r(site), so the gate is
+    (x < r_f) outer (y < r_t)."""
+    import jax
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    B_f, B_t = codes_f.shape[0], codes_t.shape[0]
+    den = neff + 0.5 * jnp.outer(r_f, r_t)
+    rxy = 0.25 * jnp.outer(r_f, r_t)
+
+    # exact f32 marginals
+    pX = [((codes_f == x).astype(f32) * w32).sum(axis=1) for x in range(Rf)]
+    pY = [((codes_t == y).astype(f32) * w32).sum(axis=1) for y in range(Rt)]
+
+    rhs = [(codes_t == y).astype(jnp.bfloat16) for y in range(max(Rt - 1, 1))]
+    counts: Dict[Tuple[int, int], object] = {}
+    for x in range(max(Rf - 1, 1)):
+        onehot_f = codes_f == x
+        lhs_terms = [
+            jnp.where(onehot_f, wp[None, :], jnp.bfloat16(0))
+            for wp in wparts[:precision_terms]
+        ]
+        for y in range(max(Rt - 1, 1)):
+            acc = None
+            for lt in lhs_terms:
+                d = jax.lax.dot(
+                    lt, rhs[y].T, preferred_element_type=f32
+                )
+                acc = d if acc is None else acc + d
+            counts[(x, y)] = acc
+
+    # marginal closure for the last column / row / corner
+    if Rt >= 2:
+        for x in range(Rf - 1):
+            s = None
+            for y in range(Rt - 1):
+                s = counts[(x, y)] if s is None else s + counts[(x, y)]
+            counts[(x, Rt - 1)] = pX[x][:, None] - s
+    if Rf >= 2:
+        for y in range(Rt):
+            s = None
+            for x in range(Rf - 1):
+                s = counts[(x, y)] if s is None else s + counts[(x, y)]
+            counts[(Rf - 1, y)] = pY[y][None, :] - s
+    if Rf == 1 and Rt == 1:
+        counts[(0, 0)] = jnp.broadcast_to(pX[0][:, None], (B_f, B_t))
+
+    mi = jnp.zeros((B_f, B_t), f32)
+    for x in range(Rf):
+        gate_x = (x < r_f).astype(f32)
+        pxr = pX[x] * (0.5 * r_f)
+        for y in range(Rt):
+            pxy = counts[(x, y)] + 0.5
+            denom = (
+                jnp.outer(pX[x], pY[y])
+                + rxy
+                + pxr[:, None]
+                + (pY[y] * (0.5 * r_t))[None, :]
+            )
+            uq = jnp.outer(gate_x, (y < r_t).astype(f32))
+            mi = mi + uq * pxy / den * jnp.log(pxy / denom * den)
+    return mi
+
+
+@functools.lru_cache(maxsize=None)
+def _build_rank_tile(Bf: int, Bt: int, Rf: int, Rt: int, terms: int):
+    """Jitted single rank-compacted MI tile (host-extraction pipeline path)."""
+    import jax
+
+    def fn(codes_f, codes_t, w32, wparts, r_f, r_t, neff):
+        return _rank_tile_mi(
+            codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt, terms
+        )
+
+    return jax.jit(fn)
+
+
+def mi_tile_rank(
+    rank_codes_f: np.ndarray,
+    rank_codes_t: np.ndarray,
+    w: np.ndarray,
+    r_f: np.ndarray,
+    r_t: np.ndarray,
+    neff: float,
+    precision_terms: int = 3,
+) -> np.ndarray:
+    """Host-facing rank-compacted tile (bucketed static Rf/Rt compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    Rf = int(r_f.max())
+    Rt = int(r_t.max())
+    w32 = np.asarray(w, np.float32)
+    parts = []
+    resid = w32.copy()
+    for _ in range(precision_terms):
+        p = resid.astype(jnp.bfloat16)
+        parts.append(np.asarray(p))
+        resid = resid - np.asarray(p, np.float32)
+    fn = _build_rank_tile(
+        rank_codes_f.shape[0], rank_codes_t.shape[0], Rf, Rt, precision_terms
+    )
+    out = fn(
+        jnp.asarray(rank_codes_f),
+        jnp.asarray(rank_codes_t),
+        jnp.asarray(w32),
+        jnp.asarray(np.stack(parts)),
+        jnp.asarray(r_f, jnp.float32),
+        jnp.asarray(r_t, jnp.float32),
+        jnp.asarray(np.float32(neff)),
+    )
+    return np.asarray(jax.device_get(out), dtype=np.float64)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_bucket_sweep(
+    mesh_key,  # id for cache keying; actual mesh passed via closure store
+    block: int,
+    nseq: int,
+    sr_dist: int,
+    g: int,
+    topk: int,
+    Rf: int,
+    Rt: int,
+    precision_terms: int,
+):
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local_sweep(codes, wparts, w32, r, pos, valid, pairs, pair_valid,
+                    pslots, neff):
+        def body(carry, inp):
+            best_v, best_s, best_x = carry
+            pair, pvalid, pslot = inp
+            fs = pair[0] * block
+            ts = pair[1] * block
+            codes_f = jax.lax.dynamic_slice(codes, (0, fs), (nseq, block)).T
+            codes_t = jax.lax.dynamic_slice(codes, (0, ts), (nseq, block)).T
+            r_f = jax.lax.dynamic_slice(r, (fs,), (block,)).astype(jnp.float32)
+            r_t = jax.lax.dynamic_slice(r, (ts,), (block,)).astype(jnp.float32)
+            pos_f = jax.lax.dynamic_slice(pos, (fs,), (block,))
+            pos_t = jax.lax.dynamic_slice(pos, (ts,), (block,))
+            val_f = jax.lax.dynamic_slice(valid, (fs,), (block,))
+            val_t = jax.lax.dynamic_slice(valid, (ts,), (block,))
+
+            mi = _rank_tile_mi(
+                codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt,
+                precision_terms,
+            )
+
+            ii = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+            same_block = pair[0] == pair[1]
+            tri = jnp.where(same_block, ii > jj, True)
+            ok = tri & val_f[:, None] & val_t[None, :] & pvalid
+            d = jnp.mod(pos_t[None, :] - pos_f[:, None], g)
+            lens = 0.5 * g - jnp.abs(d.astype(jnp.float32) - 0.5 * g)
+            lr_ok = ok & (lens > sr_dist)
+
+            vals, idx = jax.lax.top_k(
+                jnp.where(lr_ok, mi, -jnp.inf).ravel(), topk
+            )
+            cat_v = jnp.concatenate([best_v, vals])
+            cat_s = jnp.concatenate(
+                [best_s, jnp.full((topk,), pslot, jnp.int32)]
+            )
+            cat_x = jnp.concatenate([best_x, idx])
+            nv, ni = jax.lax.top_k(cat_v, topk)
+            return (nv, cat_s[ni], cat_x[ni]), None
+
+        init = (
+            jax.lax.pcast(jnp.full((topk,), -jnp.inf, jnp.float32), ("b",), to="varying"),
+            jax.lax.pcast(jnp.zeros((topk,), jnp.int32), ("b",), to="varying"),
+            jax.lax.pcast(jnp.zeros((topk,), jnp.int32), ("b",), to="varying"),
+        )
+        (bv, bs, bx), _ = jax.lax.scan(
+            body, init, (pairs, pair_valid, pslots)
+        )
+        gv = jax.lax.all_gather(bv, "b").ravel()
+        gs = jax.lax.all_gather(bs, "b").ravel()
+        gx = jax.lax.all_gather(bx, "b").ravel()
+        mv, mi_ = jax.lax.top_k(gv, topk)
+        return mv, gs[mi_], gx[mi_]
+
+    return jax.jit(
+        jax.shard_map(
+            local_sweep,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(), P(), P(), P(), P("b"), P("b"), P("b"), P(),
+            ),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+_MESH_STORE: Dict[int, object] = {}
+
+
+def fast_lr_topk(
+    snp_data,
+    hdw: np.ndarray,
+    block: int = 4096,
+    sr_dist: int = 20000,
+    topk: int = 4096,
+    n_devices: Optional[int] = None,
+    precision_terms: int = 3,
+):
+    """Full fast sweep -> global long-range top-k (pos1, pos2, MI)."""
+    import jax.numpy as jnp
+
+    from ldweaver_tpu.parallel.sweep import get_mesh
+
+    mesh = get_mesh(n_devices)
+    mesh_key = id(mesh)
+    _MESH_STORE[mesh_key] = mesh
+    nsh = mesh.devices.size
+
+    ranked = stratify(
+        snp_data.codes, snp_data.acgtn_table, snp_data.pos, snp_data.r, block
+    )
+    nb = ranked.rank_codes.shape[1] // block
+    valid = np.arange(ranked.rank_codes.shape[1]) < snp_data.nsnp
+
+    # bucket block-pairs by (Rf, Rt) of their blocks
+    buckets: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+    for i in range(nb):
+        for j in range(i, nb):
+            key = (int(ranked.block_rmax[i]), int(ranked.block_rmax[j]))
+            buckets.setdefault(key, []).append((i, j))
+
+    w32 = np.asarray(hdw, np.float32)
+    parts = []
+    resid = w32.copy()
+    for _ in range(3):
+        p = resid.astype(jnp.bfloat16)
+        parts.append(np.asarray(p))
+        resid = resid - np.asarray(p, np.float32)
+    wparts = np.stack(parts)
+    neff = np.float32(np.asarray(hdw, np.float64).sum())
+
+    codes_dev = jnp.asarray(ranked.rank_codes)
+    wparts_dev = jnp.asarray(wparts)
+    w32_dev = jnp.asarray(w32)
+    r_dev = jnp.asarray(ranked.r)
+    pos_dev = jnp.asarray(ranked.pos, jnp.int32)
+    valid_dev = jnp.asarray(valid)
+
+    all_pos1, all_pos2, all_mi = [], [], []
+    with mesh:
+        for (Rf, Rt), plist in sorted(buckets.items()):
+            pairs = np.asarray(plist, np.int32)
+            npad = (-len(pairs)) % nsh
+            pair_valid = np.ones(len(pairs) + npad, bool)
+            if npad:
+                pairs = np.concatenate(
+                    [pairs, np.zeros((npad, 2), np.int32)]
+                )
+                pair_valid[-npad:] = False
+            pslots = np.arange(len(pairs), dtype=np.int32)
+            fn = _build_bucket_sweep(
+                mesh_key, block, snp_data.nseq, sr_dist, snp_data.g,
+                min(topk, block * block), Rf, Rt, precision_terms,
+            )
+            mv, ms, mx = fn(
+                codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
+                jnp.asarray(pairs),
+                jnp.asarray(pair_valid),
+                jnp.asarray(pslots),
+                jnp.asarray(neff),
+            )
+            mv = np.asarray(mv)
+            ms = np.asarray(ms).astype(np.int64)
+            mx = np.asarray(mx).astype(np.int64)
+            keep = np.isfinite(mv)
+            mv, ms, mx = mv[keep], ms[keep], mx[keep]
+            bi = pairs[ms, 0].astype(np.int64)
+            bj = pairs[ms, 1].astype(np.int64)
+            ii = mx // block
+            jj = mx % block
+            all_pos2.append(ranked.pos[bi * block + ii])
+            all_pos1.append(ranked.pos[bj * block + jj])
+            all_mi.append(mv)
+
+    pos1 = np.concatenate(all_pos1) if all_pos1 else np.zeros(0, np.int64)
+    pos2 = np.concatenate(all_pos2) if all_pos2 else np.zeros(0, np.int64)
+    mi = np.concatenate(all_mi) if all_mi else np.zeros(0)
+    order = np.argsort(-mi, kind="stable")[:topk]
+    return pos1[order], pos2[order], mi[order]

@@ -249,7 +249,7 @@ def build_sharded_sweep(
             ).squeeze(-1)
         )
         # the carry becomes device-varying inside shard_map - mark it so
-        hist0 = jax.lax.pvary(jnp.zeros(hist_bins, jnp.int32), ("b",))
+        hist0 = jax.lax.pcast(jnp.zeros(hist_bins, jnp.int32), ("b",), to="varying")
         hist, (vals, slot_arrs, idxs) = jax.lax.scan(
             body, hist0, (pairs, pair_valid, slots)
         )

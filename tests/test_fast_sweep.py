@@ -1,0 +1,119 @@
+"""Fast rank-compacted sweep vs the f64 oracle on the toy data."""
+
+import numpy as np
+import pytest
+
+from ldweaver_tpu.core.mi import circular_len, mi_tile_numpy
+from ldweaver_tpu.parallel.fast_sweep import (
+    fast_lr_topk,
+    rank_encode,
+    stratify,
+)
+
+
+def test_rank_encode_roundtrip(toy_snp_data):
+    sd = toy_snp_data
+    rk = rank_encode(sd.codes, sd.acgtn_table)
+    # ranks bounded by r at each site
+    assert (rk < sd.r[None, :]).all()
+    # rank 0 is the major allele: its count equals the max count
+    maj_count = np.array(
+        [(rk[:, s] == 0).sum() for s in range(sd.nsnp)]
+    )
+    assert np.array_equal(maj_count, sd.acgtn_table.max(axis=0))
+    # contingency invariance: counts per rank match sorted allele counts
+    for s in [0, 17, 500]:
+        rank_counts = np.bincount(rk[:, s], minlength=5)
+        allele_counts = np.sort(sd.acgtn_table[:, s])[::-1]
+        assert np.array_equal(rank_counts, allele_counts)
+
+
+def test_stratify_blocks_sorted(toy_snp_data):
+    sd = toy_snp_data
+    ranked = stratify(sd.codes, sd.acgtn_table, sd.pos, sd.r, 256)
+    n = sd.nsnp
+    assert (np.diff(ranked.r[:n]) >= 0).all()
+    # permutation round-trips positions
+    assert set(ranked.pos[:n].tolist()) == set(sd.pos.tolist())
+
+
+def test_fast_topk_matches_oracle(toy_snp_data, toy_hdw):
+    sd = toy_snp_data
+    w = toy_hdw
+    neff = float(w.sum())
+    sr_dist = 2000
+    K = 200
+
+    # oracle: full all-vs-all tile (single diagonal block; compat == exact
+    # RXY there), upper-triangle pairs, LR filter, top-K by MI
+    tile = mi_tile_numpy(
+        np.ascontiguousarray(sd.codes.T),
+        np.ascontiguousarray(sd.codes.T),
+        w,
+        sd.r,
+        sd.r,
+        sd.uqe,
+        sd.uqe,
+        neff,
+    )
+    iu, ju = np.triu_indices(sd.nsnp, 1)
+    lens = circular_len(sd.pos[ju], sd.pos[iu], sd.g)
+    lr = lens > sr_dist
+    vals = tile[iu[lr], ju[lr]]
+    order = np.argsort(-vals, kind="stable")[:K]
+    oracle_vals = vals[order]
+
+    pos1, pos2, mi = fast_lr_topk(
+        sd, w, block=256, sr_dist=sr_dist, topk=K, n_devices=8
+    )
+    assert mi.size == K
+    # value agreement (bf16x3 + marginal closure ~ 1e-5 relative)
+    assert np.allclose(np.sort(mi), np.sort(oracle_vals), rtol=5e-4, atol=1e-5)
+    # pair-set agreement away from the boundary: every fast link whose MI
+    # clears the oracle's K-th value by a margin must be in the oracle set
+    oracle_pairs = {
+        (min(a, b), max(a, b))
+        for a, b in zip(sd.pos[iu[lr][order]], sd.pos[ju[lr][order]])
+    }
+    margin = oracle_vals[-1] + 1e-4
+    for p1, p2, v in zip(pos1, pos2, mi):
+        if v > margin:
+            assert (min(p1, p2), max(p1, p2)) in oracle_pairs
+
+
+def test_fast_backend_full_mi_computation(toy_snp_data, toy_hdw, tmp_path):
+    """backend='fast' end-to-end MI computation vs the exact numpy path
+    (toy data is a single diagonal block, where the fast path's RXY and
+    emission rules coincide with the compat path)."""
+    from ldweaver_tpu.core.cds import CdsVar, Clusters
+    from ldweaver_tpu.core.sweep import perform_mi_computation
+
+    sd = toy_snp_data
+    rng = np.random.default_rng(0)
+    paint = rng.integers(1, 3, size=sd.nsnp).astype(np.int64)
+    cds_var = CdsVar(
+        var_estimate=np.zeros(1), cds_start=np.zeros(1, np.int64),
+        cds_end=np.zeros(1, np.int64),
+        clusts=Clusters(np.array([1]), 0.0), paint=paint,
+        ref=np.array(["A"] * sd.nsnp), alt=np.array([""] * sd.nsnp),
+        allele_table=sd.acgtn_table, nclust=2,
+    )
+    out = {}
+    for backend in ("numpy", "fast"):
+        lr = str(tmp_path / f"lr_{backend}.tsv")
+        sr = str(tmp_path / f"sr_{backend}.tsv")
+        links = perform_mi_computation(
+            sd, toy_hdw, cds_var, lr_save_path=lr, sr_save_path=sr,
+            plt_folder=None, sr_dist=2000, srp_cutoff=3.0,
+            backend=backend, verbose=False,
+        )
+        out[backend] = links
+    a, b = out["numpy"], out["fast"]
+    # same number of retained links within tie-noise
+    assert abs(len(a) - len(b)) <= max(2, int(0.01 * len(a)))
+    ka = {(p1, p2): m for p1, p2, m in zip(a.pos1, a.pos2, a.MI)}
+    kb = {(p1, p2): m for p1, p2, m in zip(b.pos1, b.pos2, b.MI)}
+    common = set(ka) & set(kb)
+    assert len(common) >= 0.99 * min(len(ka), len(kb))
+    for key in list(common)[:500]:
+        assert abs(ka[key] - kb[key]) < 5e-4 * max(1.0, abs(ka[key]))
