@@ -48,6 +48,43 @@ def _build_adjacency(pos1: np.ndarray, pos2: np.ndarray, mi: np.ndarray):
     return adj
 
 
+def _run_aracne_native(check_pos1, check_pos2, check_mi,
+                       full_pos1, full_pos2, full_mi):
+    """Native CSR path (OpenMP sorted-intersection scan); None -> fallback."""
+    from ldweaver_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import os
+
+    # CSR adjacency over unique positions
+    uniq = np.unique(np.concatenate([full_pos1, full_pos2, check_pos1, check_pos2]))
+    u1 = np.searchsorted(uniq, full_pos1)
+    u2 = np.searchsorted(uniq, full_pos2)
+    endpoints = np.concatenate([u1, u2])
+    partners = np.concatenate([u2, u1])
+    mis = np.concatenate([full_mi, full_mi])
+    # sort by (endpoint, partner) so each row's partners are ascending
+    order = np.lexsort((partners, endpoints))
+    endpoints = endpoints[order]
+    partners = np.ascontiguousarray(partners[order], dtype=np.int64)
+    mis = np.ascontiguousarray(mis[order], dtype=np.float64)
+    starts = np.searchsorted(
+        endpoints, np.arange(uniq.size + 1), side="left"
+    ).astype(np.int64)
+
+    cu = np.ascontiguousarray(np.searchsorted(uniq, check_pos1), np.int64)
+    cv = np.ascontiguousarray(np.searchsorted(uniq, check_pos2), np.int64)
+    cm = np.ascontiguousarray(check_mi, np.float64)
+    out = np.zeros(cu.size, dtype=np.uint8)
+    lib.ldw_aracne(
+        cu, cv, cm, cu.size, starts, partners, mis, out,
+        os.cpu_count() or 1,
+    )
+    return out.astype(bool)
+
+
 def run_aracne(
     check_pos1: np.ndarray,
     check_pos2: np.ndarray,
@@ -55,12 +92,25 @@ def run_aracne(
     full_pos1: np.ndarray,
     full_pos2: np.ndarray,
     full_mi: np.ndarray,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Boolean direct/indirect labels for the checked links.
 
     True = direct (kept), False = indirect - matching runARACNE's return
     (R/io_functions.R:112,157).
     """
+    check_pos1 = np.asarray(check_pos1, dtype=np.int64)
+    check_pos2 = np.asarray(check_pos2, dtype=np.int64)
+    check_mi = np.asarray(check_mi, dtype=np.float64)
+    if use_native:
+        res = _run_aracne_native(
+            check_pos1, check_pos2, check_mi,
+            np.asarray(full_pos1, np.int64),
+            np.asarray(full_pos2, np.int64),
+            np.asarray(full_mi, np.float64),
+        )
+        if res is not None:
+            return res
     adj = _build_adjacency(
         np.asarray(full_pos1, dtype=np.int64),
         np.asarray(full_pos2, dtype=np.int64),

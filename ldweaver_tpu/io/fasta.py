@@ -7,10 +7,9 @@ TPU-native replacement for the reference's two-pass kseq/Rcpp ingest:
     (reference: src/getACGTNsites.cpp:178-291, `.extractSNPs`)
 
 The reference emits COO triplets for five sparse boolean matrices; we emit a
-single dense uint8 code tensor (see core/snp_tensor.py).  Parsing is
-vectorised NumPy over whole sequences (a per-byte LUT) rather than the
-per-character C loop; an optional C++ fast path can be layered on later if
-parse throughput ever dominates.
+single dense uint8 code tensor (see core/snp_tensor.py).  A native C++
+streaming tokenizer (ldweaver_tpu/native) provides the throughput path,
+with a vectorised-NumPy fallback when no toolchain is available.
 
 Filter semantics are replicated exactly, including the truncated-int
 thresholds:
@@ -64,13 +63,18 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, bytes]]:
             yield name, b"".join(chunks)
 
 
-def scan_alignment(path: str):
+def scan_alignment(path: str, use_native: bool = True):
     """Pass 1: equal-length check + 5 x L allele-count matrix.
 
     Equivalent of `.extractAlnParam` steps 1-2
     (src/getACGTNsites.cpp:17-89).  Returns (nseq, seq_len, names, counts)
-    where counts is int64 [5, L] with rows A,C,G,T,other.
+    where counts is int64 [5, L] with rows A,C,G,T,other.  Uses the
+    native C++ streaming tokenizer when available.
     """
+    if use_native:
+        result = _scan_alignment_native(path)
+        if result is not None:
+            return result
     counts = None
     seq_len = None
     names: List[str] = []
@@ -124,12 +128,71 @@ def filter_sites(
     return np.flatnonzero(keep).astype(np.int64) + 1  # 1-based, cpp:122,154
 
 
-def extract_codes(path: str, pos_1based: np.ndarray, nseq: int):
+def _scan_alignment_native(path: str):
+    """Native pass-1 (ldw_scan_alignment); None -> fall back to Python."""
+    import ctypes
+    import tempfile
+
+    from ldweaver_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    # first record gives the capacity
+    first = next(iter_fasta(path), None)
+    if first is None:
+        raise ValueError("File does not contain any sequences!")
+    seq_len = len(first[1])
+    counts = np.zeros((5, seq_len), dtype=np.int64)
+    out_len = ctypes.c_int64(0)
+    with tempfile.NamedTemporaryFile(mode="r", suffix=".names") as nf:
+        n = lib.ldw_scan_alignment(
+            path.encode(), counts.reshape(-1), seq_len,
+            ctypes.byref(out_len), nf.name.encode(),
+        )
+        if n == -3:
+            raise ValueError("Error! sequences are of different lengths!")
+        if n <= 0:
+            return None  # unexpected native failure: Python fallback
+        names = [line.strip() for line in open(nf.name)]
+    return int(n), int(out_len.value), names, counts
+
+
+def _extract_codes_native(path: str, pos_1based: np.ndarray, nseq: int):
+    from ldweaver_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    nsnp = pos_1based.size
+    codes = np.zeros((nseq, nsnp), dtype=np.uint8)
+    acgtn = np.zeros((5, nsnp), dtype=np.int64)
+    n = lib.ldw_extract_codes(
+        path.encode(),
+        np.ascontiguousarray(pos_1based, dtype=np.int64),
+        nsnp,
+        codes.reshape(-1),
+        nseq,
+        acgtn.reshape(-1),
+    )
+    if n != nseq:
+        return None
+    # names come from pass 1 (identical file); callers that used the
+    # native scan already have them
+    return codes, acgtn, None
+
+
+def extract_codes(path: str, pos_1based: np.ndarray, nseq: int,
+                  use_native: bool = True):
     """Pass 2: gather retained sites into a dense code tensor.
 
     Equivalent of `.extractSNPs` (src/getACGTNsites.cpp:178-291); also
     accumulates the per-site ACGTN count table (cpp:229-265).
     """
+    if use_native:
+        result = _extract_codes_native(path, pos_1based, nseq)
+        if result is not None:
+            return result
     nsnp = pos_1based.size
     codes = np.empty((nseq, nsnp), dtype=np.uint8)
     idx0 = pos_1based - 1
@@ -157,11 +220,13 @@ def parse_fasta_alignment(
     Equivalent of `parse_fasta_alignment` (R/extractSNPs.R:23-142); the
     genome length g is the alignment length.
     """
-    nseq, seq_len, _, counts = scan_alignment(aln_path)
+    nseq, seq_len, scan_names, counts = scan_alignment(aln_path)
     pos = filter_sites(counts, nseq, method, gap_freq, maf_freq)
     if pos.size == 0:
         raise ValueError("File does not contain any SNPs")  # R/extractSNPs.R:43
     codes, acgtn_table, names = extract_codes(aln_path, pos, nseq)
+    if names is None:
+        names = scan_names
     uqe, r = derive_site_stats(acgtn_table)
     return SnpData(
         codes=codes,
@@ -191,7 +256,7 @@ def parse_fasta_snp_alignment(
     pos = np.asarray(pos, dtype=np.int64)
     if np.unique(pos).size != pos.size:
         raise ValueError("Provided pos contains duplicates!")  # R/BacGWES.R:122
-    nseq, seq_len, _, counts = scan_alignment(aln_path)
+    nseq, seq_len, scan_names, counts = scan_alignment(aln_path)
     if pos.size != seq_len:
         raise ValueError(
             "Error! Number of positions do not match the fasta sequence length"
@@ -200,6 +265,8 @@ def parse_fasta_snp_alignment(
     if kept.size == 0:
         raise ValueError("File does not contain any SNPs")
     codes, acgtn_table, names = extract_codes(aln_path, kept, nseq)
+    if names is None:
+        names = scan_names
     genome_pos = pos[kept - 1].astype(np.int64)  # R/extractSNPs.R:200
     uqe, r = derive_site_stats(acgtn_table)
     return SnpData(

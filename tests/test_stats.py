@@ -188,3 +188,22 @@ def test_aracne_no_common_neighbour():
         np.array([0.01, 0.9]),
     )
     assert labels.tolist() == [True]
+
+
+def test_aracne_native_matches_python():
+    rng = np.random.default_rng(17)
+    n = 600
+    positions = rng.choice(np.arange(100, 100000), size=80, replace=False)
+    p1 = positions[rng.integers(0, 80, n)]
+    p2 = positions[rng.integers(0, 80, n)]
+    keep = p1 != p2
+    p1, p2 = p1[keep], p2[keep]
+    lo = np.minimum(p1, p2)
+    hi = np.maximum(p1, p2)
+    uniq = np.unique(np.stack([lo, hi], 1), axis=0)
+    lo, hi = uniq[:, 0], uniq[:, 1]
+    mi = rng.random(lo.size)
+    chk = slice(0, lo.size // 2)
+    a = run_aracne(lo[chk], hi[chk], mi[chk], lo, hi, mi, use_native=False)
+    b = run_aracne(lo[chk], hi[chk], mi[chk], lo, hi, mi, use_native=True)
+    assert np.array_equal(a, b)
