@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 NSEQ = int(os.environ.get("BENCH_NSEQ", 1024))
-NSNP = int(os.environ.get("BENCH_NSNP", 49152))
+NSNP = int(os.environ.get("BENCH_NSNP", 32768))
 BLOCK = int(os.environ.get("BENCH_BLOCK", 4096))
 SR_DIST = 20000
 G = 2_200_000  # S. pneumoniae-scale genome
@@ -45,7 +45,10 @@ def synth(nsnp, nseq, seed=0):
     codes = np.where(u < maf[None, :], minor[None, :], major[None, :]).astype(
         np.uint8
     )
-    ncells = rng.random((nseq, nsnp)) < 0.01
+    # realistic allele-richness profile: ~15% of sites carry N calls
+    # (matches the toy data's r distribution: 85% r=2, 15% r=3+)
+    n_sites = rng.random(nsnp) < 0.15
+    ncells = (rng.random((nseq, nsnp)) < 0.03) & n_sites[None, :]
     codes[ncells] = 4
     pos = np.sort(
         rng.choice(np.arange(1, G + 1), size=nsnp, replace=False)

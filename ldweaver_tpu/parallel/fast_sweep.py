@@ -278,12 +278,22 @@ def _build_bucket_sweep(
             lens = 0.5 * g - jnp.abs(d.astype(jnp.float32) - 0.5 * g)
             lr_ok = ok & (lens > sr_dist)
 
-            vals, idx = jax.lax.top_k(
-                jnp.where(lr_ok, mi, -jnp.inf).ravel(), topk
+            # two-stage top-k: a flat top_k over B*B elements is O(n*k)
+            # and dominates the sweep; reduce per row first (k_row per
+            # SNP), then across the K_ROW*B survivors
+            masked = jnp.where(lr_ok, mi, -jnp.inf)
+            k_row = min(64, block, topk)
+            row_vals, row_idx = jax.lax.top_k(masked, k_row)  # [B, k_row]
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (block, k_row), 0
             )
+            flat = rows * block + row_idx
+            vals, sel = jax.lax.top_k(row_vals.ravel(), min(topk, block * k_row))
+            idx = flat.ravel()[sel]
+            npick = vals.shape[0]
             cat_v = jnp.concatenate([best_v, vals])
             cat_s = jnp.concatenate(
-                [best_s, jnp.full((topk,), pslot, jnp.int32)]
+                [best_s, jnp.full((npick,), pslot, jnp.int32)]
             )
             cat_x = jnp.concatenate([best_x, idx])
             nv, ni = jax.lax.top_k(cat_v, topk)

@@ -225,8 +225,23 @@ def build_sharded_sweep(
             lr_ok = ok & (lens > sr_dist)
             sr_ok = ok & (lens <= sr_dist)
 
-            lr_vals = jnp.where(lr_ok, mi, -jnp.inf).ravel()
-            vals, idx = jax.lax.top_k(lr_vals, topk)
+            # two-stage top-k (row-wise then merged) - a flat top_k over
+            # B*B elements is O(n*k) and would dominate the sweep
+            masked = jnp.where(lr_ok, mi, -jnp.inf)
+            k_row = min(64, block, topk)
+            row_vals, row_idx = jax.lax.top_k(masked, k_row)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block, k_row), 0)
+            flat_rc = rows * block + row_idx
+            vals, sel = jax.lax.top_k(
+                row_vals.ravel(), min(topk, block * k_row)
+            )
+            idx = flat_rc.ravel()[sel]
+            if vals.shape[0] < topk:  # pad to a fixed carry width
+                pad = topk - vals.shape[0]
+                vals = jnp.concatenate(
+                    [vals, jnp.full((pad,), -jnp.inf, vals.dtype)]
+                )
+                idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
             # keep (pair_slot, in-tile index) separately: the flat product
             # pslot*B*B overflows int32 at scale
             slot_arr = jnp.full((topk,), pslot, dtype=jnp.int32)
