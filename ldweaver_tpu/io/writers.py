@@ -173,3 +173,35 @@ def snpdat_to_fa(
                     + "\t".join(chars[i].tobytes().decode())
                     + "\n"
                 )
+
+
+def generate_links_snps_fasta(
+    snp_data,
+    aln_path: str,
+    pos_path: str,
+    lr_tophits_path: str = None,
+    lr_annotated_links_path: str = None,
+    sr_tophits_path: str = None,
+    sr_annotated_links_path: str = None,
+):
+    """SNP fasta restricted to loci appearing in link files - the input
+    for detailed tree plots (generate_Links_SNPS_fasta,
+    R/io_functions.R:432-460)."""
+    from ldweaver_tpu.io import readers
+
+    paths = [
+        (lr_tophits_path, readers.read_top_hits),
+        (sr_tophits_path, readers.read_top_hits),
+        (lr_annotated_links_path, readers.read_annotated_links),
+        (sr_annotated_links_path, readers.read_annotated_links),
+    ]
+    if all(p is None for p, _ in paths):
+        raise ValueError("At least one links file must be provided")
+    pos = []
+    for p, reader in paths:
+        if p is not None:
+            df = reader(p)
+            pos.extend(df["pos1"].tolist())
+            pos.extend(df["pos2"].tolist())
+    pos = np.unique(np.asarray(pos, dtype=np.int64))
+    snpdat_to_fa(snp_data, aln_path, pos_path, pos=pos, format="fasta")
