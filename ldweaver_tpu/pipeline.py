@@ -92,6 +92,20 @@ def ldweaver(
     """
     cfg = config or LDWeaverConfig(**config_kwargs)
     t_global = time.time()
+    timings = {}
+
+    class _stage:
+        """Structured per-stage timing (SURVEY.md section 5: the reference
+        only prints Sys.time() deltas; we also persist timings.json)."""
+
+        def __init__(self, name):
+            self.name = name
+
+        def __enter__(self):
+            self.t0 = time.time()
+
+        def __exit__(self, *exc):
+            timings[self.name] = round(time.time() - self.t0, 3)
 
     # ---- sanity checks (R/BacGWES.R:99-124)
     if (gbk_path is None) == (gff3_path is None):
@@ -151,6 +165,7 @@ def ldweaver(
 
         # ---- BLK1: alignment -> SNP tensor (R/BacGWES.R:279-303)
         print("\n#################### BLOCK 1 ####################\n")
+        stage1 = _stage("blk1_parse_alignment"); stage1.__enter__()
         if not os.path.exists(snp_path):
             t0 = time.time()
             if aln_has_all_bases:
@@ -173,6 +188,7 @@ def ldweaver(
             print("Loading previous snp matrix")
             snp_data = SnpData.load_npz(snp_path)
 
+        stage1.__exit__()
         # ---- BLK2: annotation (R/BacGWES.R:306-335)
         print("\n#################### BLOCK 2 ####################\n")
         gbk = None
@@ -233,6 +249,7 @@ def ldweaver(
 
         # ---- BLK5: MI computation (R/BacGWES.R:380-395)
         print("\n#################### BLOCK 5 ####################\n")
+        stage5 = _stage("blk5_mi_computation"); stage5.__enter__()
         have_mi = os.path.exists(sr_save_path) and (
             cfg.perform_SR_analysis_only or os.path.exists(lr_save_path)
         )
@@ -272,6 +289,11 @@ def ldweaver(
                 )
             )
 
+        stage5.__exit__()
+        import json as _json
+
+        with open(os.path.join(dset, "timings.json"), "wt") as _fh:
+            _json.dump(timings, _fh, indent=1)
         # ---- BLK6: genomewide LD map (R/BacGWES.R:399-408)
         if not cfg.perform_SR_analysis_only:
             print("\n#################### BLOCK 6 ####################\n")
