@@ -151,6 +151,189 @@ def sweep_block_pair(
                 )
 
 
+def _emit_pairs(
+    ii, jj, vals, pos_f, pos_t, paint_f, paint_t, g, sr_dist,
+    lr_prob, sr_links, lr_rows_sink, apply_lr_quantile=True,
+    lr_thresh=None,
+):
+    """Shared link emission: orientation-normalise, split SR/LR, apply the
+    per-block LR retention quantile, bin SR links per cluster."""
+    pos2 = pos_f[ii]
+    pos1 = pos_t[jj]
+    clust2 = paint_f[ii]
+    clust1 = paint_t[jj]
+    # normalise orientation to pos1 < pos2 (the r-stratified permutation
+    # makes raw emission orientation arbitrary; the reference's diagonal
+    # blocks emit pos1 < pos2 - R/computePairwiseMI.R:306-320)
+    swap = pos1 > pos2
+    pos1_n = np.where(swap, pos2, pos1)
+    pos2_n = np.where(swap, pos1, pos2)
+    clust1_n = np.where(swap, clust2, clust1)
+    clust2_n = np.where(swap, clust1, clust2)
+    pos1, pos2, clust1, clust2 = pos1_n, pos2_n, clust1_n, clust2_n
+    lens = circular_len(pos1, pos2, g)
+
+    sr_mask = lens <= sr_dist
+    lr_mask = ~sr_mask
+    if lr_mask.any() and lr_prob is not None:
+        lrv = vals[lr_mask]
+        if apply_lr_quantile:
+            disc_thresh = quantile_type7(lrv, lr_prob)
+        else:
+            disc_thresh = lr_thresh
+        keep = lrv >= disc_thresh
+        if keep.any():
+            sel = np.flatnonzero(lr_mask)[keep]
+            lr_rows_sink(
+                pos1[sel], pos2[sel], clust1[sel], clust2[sel],
+                lens[sel], vals[sel],
+            )
+    if sr_mask.any():
+        sel = np.flatnonzero(sr_mask)
+        t = LinkTable(
+            pos1=pos1[sel], pos2=pos2[sel], clust1=clust1[sel],
+            clust2=clust2[sel], len=lens[sel], MI=vals[sel],
+        )
+        for ci in range(1, len(sr_links) + 1):
+            m = (t.clust1 == ci) | (t.clust2 == ci)
+            if m.any():
+                sr_links[ci - 1] = LinkTable.concat(
+                    [sr_links[ci - 1], t.take(np.flatnonzero(m))]
+                )
+
+
+def _circular_window_counts(p: np.ndarray, q: np.ndarray, g: int,
+                            sr_dist: int) -> np.ndarray:
+    """#targets q within circular distance <= sr_dist of each p (host
+    side; used to find SR-capable rows/cols of a tile)."""
+    qs = np.sort(q)
+    D = np.concatenate([qs, qs + g])
+    a = ((p - sr_dist - 1) % g) + 1  # shift window into [1, g]
+    lo = np.searchsorted(D, a, side="left")
+    hi = np.searchsorted(D, a + 2 * sr_dist, side="right")
+    return hi - lo
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+def sweep_block_pair_fast_summary(
+    ranked,
+    paint_sorted: np.ndarray,
+    valid: np.ndarray,
+    hdw: np.ndarray,
+    neff: float,
+    g: int,
+    bi: int,
+    bj: int,
+    sr_dist: int,
+    lr_prob: float,
+    sr_links: List[LinkTable],
+    lr_rows_sink: Callable,
+    topk: int = 8192,
+) -> bool:
+    """Device-summary block pair: only O(K) LR candidates + the SR-capable
+    submatrix leave the device.  Returns False if the top-K saturated (the
+    caller must re-run with the full-tile path)."""
+    import jax.numpy as jnp
+
+    from ldweaver_tpu.parallel.fast_sweep import (
+        _build_rank_tile_summary,
+        _wparts,
+    )
+
+    B = ranked.block
+    f_sl = slice(bi * B, (bi + 1) * B)
+    t_sl = slice(bj * B, (bj + 1) * B)
+    pos_f = ranked.pos[f_sl]
+    pos_t = ranked.pos[t_sl]
+    val_f = valid[f_sl]
+    val_t = valid[t_sl]
+    paint_f = paint_sorted[f_sl]
+    paint_t = paint_sorted[t_sl]
+    r_f = ranked.r[f_sl]
+    r_t = ranked.r[t_sl]
+
+    # SR-capable rows/cols from positions (host, cheap)
+    row_cnt = _circular_window_counts(pos_f, pos_t[val_t], g, sr_dist)
+    col_cnt = _circular_window_counts(pos_t, pos_f[val_f], g, sr_dist)
+    rows_sel = np.flatnonzero((row_cnt > 0) & val_f)
+    cols_sel = np.flatnonzero((col_cnt > 0) & val_t)
+    nrow_cap = _next_pow2(rows_sel.size)
+    ncol_cap = _next_pow2(cols_sel.size)
+    row_pad = np.zeros(nrow_cap, np.int32)
+    row_pad[: rows_sel.size] = rows_sel
+    col_pad = np.zeros(ncol_cap, np.int32)
+    col_pad[: cols_sel.size] = cols_sel
+
+    Rf = int(r_f.max())
+    Rt = int(r_t.max())
+    fn = _build_rank_tile_summary(
+        B, B, Rf, Rt, 3, topk, nrow_cap, ncol_cap
+    )
+    w32, wparts = _wparts(hdw)
+    codes_f = np.ascontiguousarray(ranked.rank_codes[:, f_sl].T)
+    codes_t = np.ascontiguousarray(ranked.rank_codes[:, t_sl].T)
+    thresh, n_above, vals, idx, sub = fn(
+        jnp.asarray(codes_f),
+        jnp.asarray(codes_t),
+        jnp.asarray(w32),
+        jnp.asarray(wparts),
+        jnp.asarray(r_f, jnp.float32),
+        jnp.asarray(r_t, jnp.float32),
+        jnp.asarray(np.float32(neff)),
+        jnp.asarray(pos_f, jnp.int32),
+        jnp.asarray(pos_t, jnp.int32),
+        jnp.asarray(val_f),
+        jnp.asarray(val_t),
+        jnp.asarray(bool(bi == bj)),
+        jnp.asarray(np.int32(g)),
+        jnp.asarray(np.float32(sr_dist)),
+        jnp.asarray(np.float32(lr_prob)),
+        jnp.asarray(row_pad),
+        jnp.asarray(col_pad),
+    )
+    n_above = int(n_above)
+    if n_above > vals.shape[0]:
+        return False  # saturated: caller falls back to the full tile
+    thresh = float(thresh)
+    vals = np.asarray(vals, np.float64)
+    idx = np.asarray(idx, np.int64)
+
+    # LR candidates above the on-device quantile threshold
+    if np.isfinite(thresh):
+        keep = np.isfinite(vals) & (vals >= thresh)
+        if keep.any():
+            ii = (idx[keep] // B).astype(np.int64)
+            jj = (idx[keep] % B).astype(np.int64)
+            _emit_pairs(
+                ii, jj, vals[keep], pos_f, pos_t, paint_f, paint_t, g,
+                sr_dist, lr_prob, sr_links, lr_rows_sink,
+                apply_lr_quantile=False, lr_thresh=thresh,
+            )
+
+    # SR pairs from the gathered submatrix
+    if rows_sel.size and cols_sel.size:
+        sub = np.asarray(sub, np.float64)[: rows_sel.size, : cols_sel.size]
+        pi = pos_f[rows_sel]
+        pj = pos_t[cols_sel]
+        lens = circular_len(
+            pj[None, :].astype(np.float64), pi[:, None].astype(np.float64), g
+        )
+        mask = lens <= sr_dist
+        if bi == bj:
+            mask &= rows_sel[:, None] > cols_sel[None, :]
+        ri, cj = np.nonzero(mask)
+        if ri.size:
+            _emit_pairs(
+                rows_sel[ri], cols_sel[cj], sub[ri, cj],
+                pos_f, pos_t, paint_f, paint_t, g, sr_dist,
+                None, sr_links, lr_rows_sink,
+            )
+    return True
+
+
 def sweep_block_pair_fast(
     ranked,
     paint_sorted: np.ndarray,
@@ -165,14 +348,39 @@ def sweep_block_pair_fast(
     lr_links_approx: Optional[float],
     sr_links: List[LinkTable],
     lr_rows_sink: Callable,
+    transfer: str = "auto",
 ):
     """Fast-path block pair: rank-compacted tile + host extraction.
 
     Unlike the compat path, off-diagonal block pairs KEEP their in-block
-    diagonal pairs (the reference drops them - a quirk, not a feature)."""
+    diagonal pairs (the reference drops them - a quirk, not a feature).
+
+    transfer: 'full' always pulls the whole MI tile; 'summary' uses the
+    on-device quantile/top-K/SR-submatrix reduction; 'auto' chooses
+    'summary' when the retention probability is selective enough for the
+    top-K to be safe."""
     from ldweaver_tpu.parallel.fast_sweep import mi_tile_rank
 
     B = ranked.block
+    lr_prob = (
+        None
+        if lr_links_approx is None
+        else max(0.0, 1.0 - lr_retain_links / lr_links_approx)
+    )
+    use_summary = transfer == "summary" or (
+        transfer == "auto"
+        and lr_prob is not None
+        and lr_prob > 0.0
+        and (1.0 - lr_prob) * B < 48  # two-stage top-k row capacity
+        and B >= 1024
+    )
+    if use_summary:
+        if sweep_block_pair_fast_summary(
+            ranked, paint_sorted, valid, hdw, neff, g, bi, bj, sr_dist,
+            lr_prob, sr_links, lr_rows_sink,
+        ):
+            return
+        # saturated top-K: fall through to the full-tile path
     f_sl = slice(bi * B, (bi + 1) * B)
     t_sl = slice(bj * B, (bj + 1) * B)
     codes_f = np.ascontiguousarray(ranked.rank_codes[:, f_sl].T)
@@ -198,48 +406,10 @@ def sweep_block_pair_fast(
     ii, jj = ii[ok], jj[ok]
     if ii.size == 0:
         return
-
-    pos2 = pos_f[ii]
-    pos1 = pos_t[jj]
-    clust2 = paint_f[ii]
-    clust1 = paint_t[jj]
-    # normalise orientation to pos1 < pos2 (the r-stratified permutation
-    # makes raw emission orientation arbitrary; the reference's diagonal
-    # blocks emit pos1 < pos2 - R/computePairwiseMI.R:306-320)
-    swap = pos1 > pos2
-    pos1_n = np.where(swap, pos2, pos1)
-    pos2_n = np.where(swap, pos1, pos2)
-    clust1_n = np.where(swap, clust2, clust1)
-    clust2_n = np.where(swap, clust1, clust2)
-    pos1, pos2, clust1, clust2 = pos1_n, pos2_n, clust1_n, clust2_n
-    lens = circular_len(pos1, pos2, g)
-    vals = mi[ii, jj]
-
-    sr_mask = lens <= sr_dist
-    lr_mask = ~sr_mask
-    if lr_mask.any() and lr_links_approx is not None:
-        lrv = vals[lr_mask]
-        prob = max(0.0, 1.0 - lr_retain_links / lr_links_approx)
-        disc_thresh = quantile_type7(lrv, prob)
-        keep = lrv >= disc_thresh
-        if keep.any():
-            sel = np.flatnonzero(lr_mask)[keep]
-            lr_rows_sink(
-                pos1[sel], pos2[sel], clust1[sel], clust2[sel],
-                lens[sel], vals[sel],
-            )
-    if sr_mask.any():
-        sel = np.flatnonzero(sr_mask)
-        t = LinkTable(
-            pos1=pos1[sel], pos2=pos2[sel], clust1=clust1[sel],
-            clust2=clust2[sel], len=lens[sel], MI=vals[sel],
-        )
-        for ci in range(1, len(sr_links) + 1):
-            m = (t.clust1 == ci) | (t.clust2 == ci)
-            if m.any():
-                sr_links[ci - 1] = LinkTable.concat(
-                    [sr_links[ci - 1], t.take(np.flatnonzero(m))]
-                )
+    _emit_pairs(
+        ii, jj, mi[ii, jj], pos_f, pos_t, paint_f, paint_t, g, sr_dist,
+        lr_prob, sr_links, lr_rows_sink,
+    )
 
 
 def perform_mi_computation(

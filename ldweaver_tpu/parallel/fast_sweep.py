@@ -110,6 +110,20 @@ def stratify(
     )
 
 
+def _wparts(w, terms: int = 3):
+    """(w_f32, stacked bf16 split terms) for the contingency matmuls."""
+    import jax.numpy as jnp
+
+    w32 = np.asarray(w, np.float32)
+    parts = []
+    resid = w32.copy()
+    for _ in range(terms):
+        p = resid.astype(jnp.bfloat16)
+        parts.append(np.asarray(p))
+        resid = resid - np.asarray(p, np.float32)
+    return w32, np.stack(parts)
+
+
 # --------------------------------------------------------------------------
 # Rank-compacted MI tile (static Rf, Rt)
 # --------------------------------------------------------------------------
@@ -179,6 +193,54 @@ def _rank_tile_mi(codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt,
             uq = jnp.outer(gate_x, (y < r_t).astype(f32))
             mi = mi + uq * pxy / den * jnp.log(pxy / denom * den)
     return mi
+
+
+@functools.lru_cache(maxsize=None)
+def _build_rank_tile_summary(
+    Bf: int, Bt: int, Rf: int, Rt: int, terms: int, K: int,
+    nrow_cap: int, ncol_cap: int,
+):
+    """Jitted tile + on-device summaries, so only O(K + caps^2) bytes leave
+    the device per block-pair:
+      * type-7 quantile threshold over the valid long-range MI values
+        (jnp.quantile's default 'linear' interpolation IS R's type 7),
+      * two-stage top-K of long-range MI (vals + flat idx),
+      * a gathered [nrow_cap, ncol_cap] submatrix covering the rows/cols
+        that can participate in short-range pairs (host-computed indices).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def fn(codes_f, codes_t, w32, wparts, r_f, r_t, neff,
+           pos_f, pos_t, val_f, val_t, same_block, g, sr_dist, prob,
+           row_sel, col_sel):
+        mi = _rank_tile_mi(
+            codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt, terms
+        )
+        ii = jax.lax.broadcasted_iota(jnp.int32, (Bf, Bt), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (Bf, Bt), 1)
+        tri = jnp.where(same_block, ii > jj, True)
+        ok = tri & val_f[:, None] & val_t[None, :]
+        d = jnp.mod(pos_t[None, :] - pos_f[:, None], g)
+        lens = 0.5 * g.astype(jnp.float32) - jnp.abs(
+            d.astype(jnp.float32) - 0.5 * g.astype(jnp.float32)
+        )
+        lr_mask = ok & (lens > sr_dist)
+
+        masked = jnp.where(lr_mask, mi, jnp.nan)
+        thresh = jnp.nanquantile(masked, prob)  # type-7 interpolation
+        neg = jnp.where(lr_mask, mi, -jnp.inf)
+        n_above = (neg >= thresh).sum()
+        k_row = min(64, Bt, K)
+        row_vals, row_idx = jax.lax.top_k(neg, k_row)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Bf, k_row), 0)
+        flat = rows * Bt + row_idx
+        vals, sel = jax.lax.top_k(row_vals.ravel(), min(K, Bf * k_row))
+        idx = flat.ravel()[sel]
+        sub = mi[row_sel][:, col_sel]
+        return thresh, n_above, vals, idx, sub
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)

@@ -117,3 +117,66 @@ def test_fast_backend_full_mi_computation(toy_snp_data, toy_hdw, tmp_path):
     assert len(common) >= 0.99 * min(len(ka), len(kb))
     for key in list(common)[:500]:
         assert abs(ka[key] - kb[key]) < 5e-4 * max(1.0, abs(ka[key]))
+
+
+def test_summary_transfer_matches_full(toy_snp_data, toy_hdw):
+    """Device-summary transfer path vs full-tile pulls on a selective
+    LR-retention setup (thresholds computed on device vs host may differ
+    in the last float, so boundary links get a small tolerance)."""
+    from ldweaver_tpu.core.sweep import sweep_block_pair_fast
+    from ldweaver_tpu.core.mi import LinkTable
+    from ldweaver_tpu.parallel.fast_sweep import stratify
+
+    sd = toy_snp_data
+    hdw = toy_hdw
+    neff = float(hdw.sum())
+    rng = np.random.default_rng(2)
+    paint = rng.integers(1, 3, size=sd.nsnp).astype(np.int64)
+
+    ranked = stratify(sd.codes, sd.acgtn_table, sd.pos, sd.r, 1024)
+    paint_sorted = np.concatenate(
+        [paint[ranked.perm], np.zeros(ranked.pos.size - sd.nsnp, np.int64)]
+    )
+    valid = np.arange(ranked.pos.size) < sd.nsnp
+    # selective retention: keep ~400 of the LR links
+    approx = 700000.0
+    retain = 400.0
+
+    results = {}
+    for transfer in ("full", "summary"):
+        sr_links = [LinkTable.empty(), LinkTable.empty()]
+        lr_rows = []
+
+        def sink(p1, p2, c1, c2, ln, mi):
+            lr_rows.append((p1.copy(), p2.copy(), mi.copy()))
+
+        nb = ranked.rank_codes.shape[1] // 1024
+        for bi in range(nb):
+            for bj in range(bi, nb):
+                sweep_block_pair_fast(
+                    ranked, paint_sorted, valid, hdw, neff, sd.g,
+                    bi, bj, 2000, retain, approx, sr_links, sink,
+                    transfer=transfer,
+                )
+        lr = (
+            set()
+            if not lr_rows
+            else {
+                (int(a), int(b))
+                for p1, p2, _ in lr_rows
+                for a, b in zip(p1, p2)
+            }
+        )
+        srk = {
+            (int(a), int(b))
+            for t in sr_links
+            for a, b in zip(t.pos1, t.pos2)
+        }
+        results[transfer] = (lr, srk)
+
+    lr_f, sr_f = results["full"]
+    lr_s, sr_s = results["summary"]
+    assert sr_f == sr_s  # SR extraction must agree exactly
+    assert len(lr_f) > 50
+    # LR sets agree up to threshold-boundary noise
+    assert len(lr_f ^ lr_s) <= max(4, int(0.02 * len(lr_f)))
