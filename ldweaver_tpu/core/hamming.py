@@ -42,28 +42,62 @@ def hamming_weights_numpy(codes: np.ndarray, threshold: float = 0.1) -> np.ndarr
     return 1.0 / (neigh + 1.0)
 
 
-def hamming_weights_jax(codes: np.ndarray, threshold: float = 0.1) -> np.ndarray:
-    """Device path: same counts via f32 matmuls (exact for nsnp < 2^24)."""
+def hamming_weights_jax(
+    codes: np.ndarray, threshold: float = 0.1, seq_block: int = 8192
+) -> np.ndarray:
+    """Device path: equality counts via f32 matmuls (exact: nsnp < 2^24).
+
+    Blocked over sequence-pair tiles with the neighbour-count reduction
+    fused on device, so the nseq x nseq shared-SNP matrix never
+    materialises (10 GB at 50k genomes).  Matmuls use bf16 inputs (0/1
+    one-hots are exact in bf16) with f32 accumulation - exact integer
+    counts at bf16 MXU rate."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     nseq, nsnp = codes.shape
-
-    @jax.jit
-    def _shared(codes_dev):
-        acc = jnp.zeros((nseq, nseq), dtype=jnp.float32)
-        for a in range(5):
-            m = (codes_dev == a).astype(jnp.float32)
-            acc = acc + jax.lax.dot(
-                m, m.T, precision=jax.lax.Precision.HIGHEST
-            )
-        return acc
-
-    shared = np.asarray(jax.device_get(_shared(jnp.asarray(codes))))
-    shared = np.rint(shared).astype(np.int64)
     thresh = int(nsnp * threshold)
-    neigh = ((nsnp - shared) < thresh).sum(axis=0)
+    Bs = min(seq_block, _next_pow2(nseq))
+    npad = (-nseq) % Bs
+    codes_p = (
+        np.concatenate(
+            [codes, np.full((npad, nsnp), 255, np.uint8)], axis=0
+        )
+        if npad
+        else codes
+    )
+    nseq_p = codes_p.shape[0]
+    nb = nseq_p // Bs
+
+    @functools.partial(jax.jit, static_argnames=())
+    def tile_counts(ci, cj):
+        # padded rows (code 255) match nothing -> shared 0 -> distance
+        # nsnp >= thresh -> contribute 0 to the count
+        acc = jnp.zeros((Bs, Bs), dtype=jnp.float32)
+        for a in range(5):
+            mi_ = (ci == a).astype(jnp.bfloat16)
+            mj_ = (cj == a).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot(
+                mi_, mj_.T, preferred_element_type=jnp.float32
+            )
+        near = (nsnp - acc) < thresh  # strict <, R/perform...R:76
+        return near.sum(axis=1).astype(jnp.int32)
+
+    neigh = np.zeros(nseq_p, dtype=np.int64)
+    dev_blocks = [jnp.asarray(codes_p[k * Bs : (k + 1) * Bs]) for k in range(nb)]
+    for i in range(nb):
+        for j in range(nb):
+            neigh[i * Bs : (i + 1) * Bs] += np.asarray(
+                tile_counts(dev_blocks[i], dev_blocks[j]), dtype=np.int64
+            )
+    neigh = neigh[:nseq]
     return 1.0 / (neigh + 1.0)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(n, 1))))
 
 
 def estimate_hamming_distance_weights(

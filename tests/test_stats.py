@@ -207,3 +207,11 @@ def test_aracne_native_matches_python():
     a = run_aracne(lo[chk], hi[chk], mi[chk], lo, hi, mi, use_native=False)
     b = run_aracne(lo[chk], hi[chk], mi[chk], lo, hi, mi, use_native=True)
     assert np.array_equal(a, b)
+
+
+def test_hamming_blocked_matches_numpy():
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 5, (300, 500)).astype(np.uint8)
+    a = hamming_weights_numpy(codes, 0.3)
+    b = hamming_weights_jax(codes, 0.3, seq_block=128)  # multi-block + pad
+    assert np.array_equal(a, b)
