@@ -412,6 +412,71 @@ def sweep_block_pair_fast(
     )
 
 
+class _BlockCheckpoint:
+    """Block-granular sweep checkpointing: each completed block-pair's SR
+    contributions + retained LR rows are persisted as one npz (written
+    atomically); a manifest keyed by the sweep configuration invalidates
+    stale checkpoints."""
+
+    def __init__(self, directory: str, config_key):
+        import json
+
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        manifest = os.path.join(directory, "manifest.json")
+        key = json.dumps(list(map(str, config_key)))
+        stale = True
+        if os.path.exists(manifest):
+            try:
+                stale = open(manifest).read() != key
+            except OSError:
+                pass
+        if stale:
+            for f in os.listdir(directory):
+                if f.endswith(".npz"):
+                    os.unlink(os.path.join(directory, f))
+            with open(manifest, "wt") as fh:
+                fh.write(key)
+
+    def _path(self, key):
+        return os.path.join(self.dir, f"blk_{key}.npz")
+
+    def done(self, key) -> bool:
+        return os.path.exists(self._path(key))
+
+    def save(self, key, sr_links, before_counts, lr_acc):
+        payload = {}
+        for ci, t in enumerate(sr_links):
+            n0 = before_counts[ci]
+            if len(t) > n0:
+                for f in ("pos1", "pos2", "clust1", "clust2", "len", "MI"):
+                    payload[f"sr{ci}_{f}"] = getattr(t, f)[n0:]
+        for k, cols in enumerate(lr_acc):
+            for j, name in enumerate(
+                ("pos1", "pos2", "clust1", "clust2", "len", "MI")
+            ):
+                payload[f"lr{k}_{name}"] = cols[j]
+        payload["n_lr"] = np.int64(len(lr_acc))
+        tmp = self._path(key) + ".tmp.npz"
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, self._path(key))
+
+    def replay(self, key, sr_links, lr_sink):
+        z = np.load(self._path(key))
+        for ci in range(len(sr_links)):
+            if f"sr{ci}_pos1" in z:
+                part = LinkTable(
+                    *[z[f"sr{ci}_{f}"]
+                      for f in ("pos1", "pos2", "clust1", "clust2", "len", "MI")]
+                )
+                sr_links[ci] = LinkTable.concat([sr_links[ci], part])
+        for k in range(int(z["n_lr"])):
+            lr_sink(
+                *[z[f"lr{k}_{name}"]
+                  for name in ("pos1", "pos2", "clust1", "clust2", "len", "MI")]
+            )
+
+
 def perform_mi_computation(
     snp_data: SnpData,
     hdw: np.ndarray,
@@ -430,6 +495,7 @@ def perform_mi_computation(
     rxy_compat: bool = True,
     r_compat_sampling: bool = True,
     verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ):
     """Full MI computation + background model + ARACNE + TSV outputs.
 
@@ -468,6 +534,37 @@ def perform_mi_computation(
             ),
         )
 
+    chkpt = (
+        _BlockCheckpoint(
+            checkpoint_dir,
+            config_key=(
+                snp_data.nsnp, snp_data.nseq, sr_dist,
+                float(lr_retain_links), max_blk_sz, backend, nclust,
+            ),
+        )
+        if checkpoint_dir
+        else None
+    )
+
+    def run_block(key, fn):
+        """Run one block-pair with block-granular checkpoint/restart
+        (SURVEY.md section 5: the reference resumes only at whole-file
+        granularity, R/BacGWES.R:382-385; the TPU sweep restarts per
+        pair-block)."""
+        if chkpt is not None and chkpt.done(key):
+            chkpt.replay(key, sr_links, lr_sink)
+            return
+        before = [len(t) for t in sr_links]
+        lr_acc = []
+
+        def capture_sink(*cols):
+            lr_acc.append(tuple(np.asarray(c) for c in cols))
+            lr_sink(*cols)
+
+        fn(capture_sink)
+        if chkpt is not None:
+            chkpt.save(key, sr_links, before, lr_acc)
+
     if backend == "fast":
         # rank-compacted, r-stratified fast path (see parallel/fast_sweep)
         from ldweaver_tpu.parallel.fast_sweep import stratify
@@ -490,11 +587,14 @@ def perform_mi_computation(
         for bi in range(nb):
             for bj in range(bi, nb):
                 t0 = time.time()
-                sweep_block_pair_fast(
-                    ranked, paint_sorted, valid, hdw64, neff, snp_data.g,
-                    bi, bj, sr_dist, lr_retain_links,
-                    None if perform_sr_analysis_only else lr_links_approx,
-                    sr_links, lr_sink,
+                run_block(
+                    f"fast_{bi}_{bj}",
+                    lambda sink, bi=bi, bj=bj: sweep_block_pair_fast(
+                        ranked, paint_sorted, valid, hdw64, neff,
+                        snp_data.g, bi, bj, sr_dist, lr_retain_links,
+                        None if perform_sr_analysis_only else lr_links_approx,
+                        sr_links, sink,
+                    ),
                 )
                 k += 1
                 if verbose:
@@ -506,23 +606,26 @@ def perform_mi_computation(
         for bi in range(blocks.shape[0]):
             t0 = time.time()
             fs, fe, ts, te = (int(v) for v in blocks[bi])
-            sweep_block_pair(
-                snp_data,
-                np.asarray(hdw, dtype=np.float64),
-                cds_var.paint,
-                neff,
-                fs,
-                fe,
-                ts,
-                te,
-                sr_dist,
-                lr_retain_links,
-                lr_links_approx,
-                sr_links,
-                lr_sink,
-                backend=backend,
-                rxy_compat=rxy_compat,
-                perform_sr_only=perform_sr_analysis_only,
+            run_block(
+                f"compat_{fs}_{ts}",
+                lambda sink, fs=fs, fe=fe, ts=ts, te=te: sweep_block_pair(
+                    snp_data,
+                    np.asarray(hdw, dtype=np.float64),
+                    cds_var.paint,
+                    neff,
+                    fs,
+                    fe,
+                    ts,
+                    te,
+                    sr_dist,
+                    lr_retain_links,
+                    lr_links_approx,
+                    sr_links,
+                    sink,
+                    backend=backend,
+                    rxy_compat=rxy_compat,
+                    perform_sr_only=perform_sr_analysis_only,
+                ),
             )
             if verbose:
                 print(

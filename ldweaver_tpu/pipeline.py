@@ -274,6 +274,7 @@ def ldweaver(
                 order_links=order_links,
                 backend=backend,
                 r_compat_sampling=cfg.r_compat_lr_sampling,
+                checkpoint_dir=os.path.join(dset, "mi_chkpt"),
             )
             sr_df = pd.DataFrame(
                 dict(

@@ -180,3 +180,45 @@ def test_summary_transfer_matches_full(toy_snp_data, toy_hdw):
     assert len(lr_f) > 50
     # LR sets agree up to threshold-boundary noise
     assert len(lr_f ^ lr_s) <= max(4, int(0.02 * len(lr_f)))
+
+
+def test_block_checkpoint_resume(toy_snp_data, toy_hdw, tmp_path):
+    """Interrupting the sweep and re-running resumes from completed
+    block-pairs and produces identical outputs."""
+    from ldweaver_tpu.core.cds import CdsVar, Clusters
+    from ldweaver_tpu.core.sweep import perform_mi_computation
+
+    sd = toy_snp_data
+    paint = np.ones(sd.nsnp, dtype=np.int64)
+    cds_var = CdsVar(
+        var_estimate=np.zeros(1), cds_start=np.zeros(1, np.int64),
+        cds_end=np.zeros(1, np.int64),
+        clusts=Clusters(np.array([1]), 0.0), paint=paint,
+        ref=np.array(["A"] * sd.nsnp), alt=np.array([""] * sd.nsnp),
+        allele_table=sd.acgtn_table, nclust=1,
+    )
+
+    def run(tag, chkpt):
+        lr = str(tmp_path / f"lr_{tag}.tsv")
+        sr = str(tmp_path / f"sr_{tag}.tsv")
+        links = perform_mi_computation(
+            sd, toy_hdw, cds_var, lr_save_path=lr, sr_save_path=sr,
+            plt_folder=None, sr_dist=2000, srp_cutoff=3.0,
+            backend="numpy", max_blk_sz=1000, verbose=False,
+            checkpoint_dir=chkpt,
+        )
+        return links, open(lr).read()
+
+    chkpt = str(tmp_path / "chk")
+    base, lr_base = run("a", None)
+    first, lr_first = run("b", chkpt)
+    # all blocks checkpointed now; a re-run replays them
+    import os
+
+    n_blk = len([f for f in os.listdir(chkpt) if f.endswith(".npz")])
+    assert n_blk == 3  # ceil(1268/1000)=2 blocks -> 3 upper-tri pairs
+    second, lr_second = run("c", chkpt)
+    assert lr_first == lr_second == lr_base
+    assert np.array_equal(first.pos1, second.pos1)
+    assert np.allclose(first.srp_max, second.srp_max)
+    assert np.array_equal(first.srp_max, base.srp_max)
