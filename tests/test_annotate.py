@@ -1,0 +1,126 @@
+"""Annotation subsystem tests: codon-aware internal annotator, VCF
+writing, annotation joins and tophit filtering."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ldweaver_tpu.annotate import (
+    add_annotations_to_links,
+    allele_distribution,
+    annotate_internal,
+    detect_top_hits,
+    write_vcf,
+)
+from ldweaver_tpu.io.genbank import Feature
+
+
+def _feat(start, end, strand, gene, tag):
+    return Feature(
+        type="CDS", start=start, end=end, strand=strand,
+        segments=[(start, end)], qualifiers={"gene": gene, "locus_tag": tag},
+    )
+
+
+def test_internal_annotator_codon_effects():
+    #            1234567890123
+    # CDS 4..12: ATG GCT TAA ... on + strand: M A *
+    ref = "AAA" + "ATGGCTTAA" + "AAAA"
+    cds = [_feat(4, 12, +1, "geneA", "T1")]
+    allele_table = np.ones((5, 4), dtype=np.int64)
+
+    # pos 7 (G of GCT, codon pos 1): G->A gives ACT (Thr) vs GCT (Ala): ns
+    # pos 9 (T of GCT, codon pos 3): T->A gives GCA (Ala) == Ala: sy
+    # pos 2: intergenic
+    # pos 10 (T of TAA): T->C gives CAA (Gln) vs stop: ns
+    ann = annotate_internal(
+        snps_to_ann=np.array([2, 7, 9, 10]),
+        snps_to_ann_idx=np.arange(4),
+        ref_alleles=np.array(["A", "G", "T", "T"]),
+        alt_strings=np.array(["C", "A", "A", "C"]),
+        cds_features=cds,
+        ref_seq=ref,
+        allele_table=allele_table,
+        nseq=4,
+    )
+    assert ann["code"].tolist() == ["ig", "ns", "sy", "ns"]
+    assert ann["annotation"].iloc[1] == "missense_variant"
+    assert ann["annotation"].iloc[2] == "synonymous_variant"
+
+
+def test_internal_annotator_reverse_strand():
+    # genome: AAA TTACGCCAT AAAA ; CDS 4..12 on MINUS strand:
+    # revcomp(TTACGCCAT) = ATGGCGTAA -> M A *
+    ref = "AAA" + "TTACGCCAT" + "AAAA"
+    cds = [_feat(4, 12, -1, "geneB", "T2")]
+    allele_table = np.ones((5, 2), dtype=np.int64)
+    # pos 12 = last base of genome CDS = FIRST codon base on - strand (A of
+    # ATG reversed): T->C at genome pos 6 (complement strand)...
+    # take genome pos 5 (T of TTACG...): on - strand it pairs with codon
+    # position ... simpler assertions: synonymous wobble at the Ala codon.
+    # Ala codon = GCG (cDNA positions 4-6) = genome positions 7-9 (CGC
+    # complemented, reversed).  Genome pos 7 is the wobble base (G of GCG
+    # in cDNA): C->T at genome 7 => cDNA G->A => GCA == Ala: sy
+    ann = annotate_internal(
+        snps_to_ann=np.array([7, 8]),
+        snps_to_ann_idx=np.arange(2),
+        ref_alleles=np.array(["C", "G"]),
+        alt_strings=np.array(["T", "A"]),
+        cds_features=cds,
+        ref_seq=ref,
+        allele_table=allele_table,
+        nseq=4,
+    )
+    assert ann["code"].iloc[0] == "sy"
+    # genome pos 8 (G) -> A: cDNA middle base C->T: GTG... = missense
+    assert ann["code"].iloc[1] == "ns"
+
+
+def test_allele_distribution_format():
+    table = np.array(
+        [[300, 0], [100, 10], [0, 380], [0, 0], [0, 10]], dtype=np.int64
+    )
+    out = allele_distribution(table, np.array([0, 1]), 400)
+    assert out[0] == "A:0.75, C:0.25"
+    assert out[1] == "G:0.95, C:0.025, N:0.025"
+
+
+def test_vcf_writer(tmp_path):
+    p = str(tmp_path / "x.vcf")
+    write_vcf(p, "GEN", 1000, [5, 10], ["A", "C"], ["G", "T,N"])
+    lines = open(p).read().splitlines()
+    assert lines[0] == "##fileformat=VCF4.1"
+    assert lines[1] == "##contig=<ID=1,length=1000>"
+    assert lines[4].split("\t") == ["GEN", "5", ".", "A", "G", ".", ".", "."]
+
+
+def test_add_annotations_and_tophits():
+    links = pd.DataFrame(
+        dict(
+            pos1=[10, 20, 10],
+            pos2=[20, 30, 30],
+            len=[10.0, 10.0, 20.0],
+            MI=[0.5, 0.4, 0.3],
+            srp_max=[5.0, 4.0, 3.0],
+            ARACNE=[1, 1, 0],
+        )
+    )
+    ann = pd.DataFrame(
+        dict(
+            pos=[10, 20, 30],
+            REF=["A", "C", "G"],
+            ALT=["G", "T", "A"],
+            annotation=["missense_variant"] * 3,
+            description=["d10", "d20", "d30"],
+            cds=["g1", "g2", "g2"],
+            code=["ns", "sy", "sy"],
+            allele_dist=["A:1"] * 3,
+        )
+    )
+    out = add_annotations_to_links(links, ann, links_type="SR")
+    assert list(out["srp"]) == [5.0, 4.0, 3.0]  # sorted desc
+    assert out["links"].tolist() == ["nsXsy", "syXsy", "nsXsy"]
+    top = detect_top_hits(out, max_tophits=10)
+    # drops ARACNE==0 and syXsy and same-gene (g2Xg2) rows
+    assert len(top) == 1
+    assert top["pos1"].iloc[0] == 10 and top["pos2"].iloc[0] == 20
