@@ -30,6 +30,18 @@ import pandas as pd
 
 from ldweaver_tpu.io.writers import format_float, write_tsv
 
+
+def df_to_tsv(df: "pd.DataFrame", path: str) -> None:
+    """Write a DataFrame as TSV with R write.table-style number formatting
+    (integral doubles without trailing .0, 15 significant digits)."""
+    import pandas as pd  # noqa: F811
+
+    out = df.copy()
+    for col in out.columns:
+        if pd.api.types.is_float_dtype(out[col]):
+            out[col] = out[col].map(format_float)
+    out.to_csv(path, sep="\t", index=False)
+
 # Bacterial_and_Plant_Plastid codon table (NCBI transl_table=11): standard
 # code with ATG/GTG/TTG/CTG/ATT/ATC/ATA as possible starts; coding effects
 # for substitutions only need the amino-acid map, identical to standard.
@@ -427,9 +439,9 @@ def perform_annotations(
             snp_data.nseq,
         )
 
-    ann.to_csv(annotations_path, sep="\t", index=False)
+    df_to_tsv(ann, annotations_path)
     links_annotated = add_annotations_to_links(links_df, ann, links_type)
-    links_annotated.to_csv(links_annotated_path, sep="\t", index=False)
+    df_to_tsv(links_annotated, links_annotated_path)
     tophits = detect_top_hits(links_annotated, max_tophits)
-    tophits.to_csv(tophits_path, sep="\t", index=False)
+    df_to_tsv(tophits, tophits_path)
     return tophits
