@@ -163,20 +163,24 @@ def _rank_tile_mi(codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt,
             counts[(x, y)] = acc
 
     # marginal closure for the last column / row / corner
-    if Rt >= 2:
+    if Rf == 1:
+        # degenerate: every from-site is monomorphic -> n_0y(f,t) = n_y(t)
+        for y in range(Rt):
+            counts[(0, y)] = jnp.broadcast_to(pY[y][None, :], (B_f, B_t))
+    elif Rt == 1:
+        for x in range(Rf):
+            counts[(x, 0)] = jnp.broadcast_to(pX[x][:, None], (B_f, B_t))
+    else:
         for x in range(Rf - 1):
             s = None
             for y in range(Rt - 1):
                 s = counts[(x, y)] if s is None else s + counts[(x, y)]
             counts[(x, Rt - 1)] = pX[x][:, None] - s
-    if Rf >= 2:
         for y in range(Rt):
             s = None
             for x in range(Rf - 1):
                 s = counts[(x, y)] if s is None else s + counts[(x, y)]
             counts[(Rf - 1, y)] = pY[y][None, :] - s
-    if Rf == 1 and Rt == 1:
-        counts[(0, 0)] = jnp.broadcast_to(pX[0][:, None], (B_f, B_t))
 
     mi = jnp.zeros((B_f, B_t), f32)
     for x in range(Rf):

@@ -222,3 +222,40 @@ def test_block_checkpoint_resume(toy_snp_data, toy_hdw, tmp_path):
     assert np.array_equal(first.pos1, second.pos1)
     assert np.allclose(first.srp_max, second.srp_max)
     assert np.array_equal(first.srp_max, base.srp_max)
+
+
+@pytest.mark.parametrize("rmax_f,rmax_t", [(2, 2), (2, 5), (3, 3), (4, 2), (5, 5), (1, 3)])
+def test_rank_tile_all_bucket_shapes(rmax_f, rmax_t):
+    """_rank_tile_mi (marginal closure + implicit uq gating) vs the
+    oracle for every (Rf, Rt) bucket shape, including r=1 monomorphic
+    padding sites."""
+    from ldweaver_tpu.core.mi import mi_tile_numpy
+    from ldweaver_tpu.parallel.fast_sweep import mi_tile_rank
+
+    rng = np.random.default_rng(rmax_f * 10 + rmax_t)
+    F, T, S = 40, 36, 200
+    w = rng.uniform(0.1, 1.0, S)
+
+    def make(B, rmax):
+        codes = np.zeros((B, S), np.uint8)
+        r = np.zeros(B, np.int64)
+        for i in range(B):
+            ri = int(rng.integers(1, rmax + 1))
+            r[i] = ri
+            # rank codes with every rank 0..ri-1 present
+            codes[i] = rng.integers(0, ri, S)
+            codes[i, :ri] = np.arange(ri)
+        return codes, r
+
+    codes_f, r_f = make(F, rmax_f)
+    codes_t, r_t = make(T, rmax_t)
+    uq_f = (np.arange(5)[None, :] < r_f[:, None]).astype(np.uint8)
+    uq_t = (np.arange(5)[None, :] < r_t[:, None]).astype(np.uint8)
+    neff = float(w.sum())
+    oracle = mi_tile_numpy(
+        codes_f, codes_t, w, r_f, r_t, uq_f, uq_t, neff, rxy_compat=False
+    )
+    fast = mi_tile_rank(codes_f, codes_t, w, r_f, r_t, neff)
+    assert np.allclose(fast, oracle, rtol=2e-4, atol=2e-5), (
+        np.abs(fast - oracle).max()
+    )
