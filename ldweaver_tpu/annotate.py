@@ -62,6 +62,15 @@ def _revcomp(s: str) -> str:
     return "".join(_COMP.get(c, "N") for c in reversed(s))
 
 
+def _strand_sign(f) -> int:
+    """Normalise strand across GBK features (int +/-1) and GFF features
+    (string '+'/'-')."""
+    s = f.strand
+    if isinstance(s, str):
+        return -1 if s == "-" else 1
+    return -1 if s < 0 else 1
+
+
 # --------------------------------------------------------------------------
 # VCF writing (R/SnpEffAnnotations.R:217-234)
 # --------------------------------------------------------------------------
@@ -149,7 +158,7 @@ def annotate_internal(
                 if alt not in "ACGT":
                     effects.append("non_coding")
                     continue
-                if f.strand >= 0:
+                if _strand_sign(f) >= 0:
                     off = p - f.start
                     cstart = f.start + (off // 3) * 3
                     codon = ref_seq[cstart - 1 : cstart + 2].upper()

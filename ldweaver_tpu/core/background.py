@@ -85,9 +85,17 @@ def fit_cluster_background(lens: np.ndarray, mi: np.ndarray) -> ClusterFit:
     bounds = np.append(starts, lens_sorted.size)
     for k in range(uniq.size):
         q95[k] = quantile_type7(mi_sorted[bounds[k] : bounds[k + 1]], 0.95)
-    # log-log OLS: log(q95) = slope*log(len) + intercept
+    # log-log OLS: log(q95) = slope*log(len) + intercept.
+    # Divergence: q95 can be non-positive (the MI statistic dips below 0
+    # for anti-associated pairs); the reference feeds the resulting NaN
+    # into fastLm and errors out (R/computePairwiseMI.R:428).  We fit on
+    # the positive rows and predict for all rows, which keeps the
+    # mean_dist[len] index semantics intact.
     X = np.column_stack([np.log(uniq), np.ones(uniq.size)])
-    coef, *_ = np.linalg.lstsq(X, np.log(q95), rcond=None)
+    ok = q95 > 0
+    if not ok.any():
+        raise ValueError("no positive q95 values to fit the decay model")
+    coef, *_ = np.linalg.lstsq(X[ok], np.log(q95[ok]), rcond=None)
     fitted = np.exp(X @ coef)
     return ClusterFit(
         lens=uniq, q95=q95, fitted=fitted, coef=(float(coef[0]), float(coef[1])),

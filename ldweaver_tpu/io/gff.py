@@ -28,6 +28,23 @@ class GffFeature:
     phase: Optional[int]
     attributes: dict
 
+    # annotation accessors aligned with io.genbank.Feature so downstream
+    # consumers (annotate.py, tanglegram.py) handle both sources
+    @property
+    def gene(self) -> Optional[str]:
+        return self.attributes.get("gene") or self.attributes.get("Name")
+
+    @property
+    def locus_tag(self) -> Optional[str]:
+        return (
+            self.attributes.get("locus_tag")
+            or self.attributes.get("ID")
+        )
+
+    @property
+    def product(self) -> Optional[str]:
+        return self.attributes.get("product")
+
 
 @dataclasses.dataclass
 class GffAnnotation:
