@@ -45,3 +45,38 @@ def test_pallas_ragged_rxy_compat():
     pal = mi_tile_pallas(*args, rxy_compat=True,
                          tile_f=128, tile_t=128, chunk_s=128)
     assert np.allclose(pal, oracle, rtol=5e-5, atol=5e-6)
+
+
+@pytest.mark.parametrize("rmax_f,rmax_t", [(2, 2), (3, 2), (3, 3), (2, 4)])
+def test_pallas_rank_kernel_matches_oracle(rmax_f, rmax_t):
+    from ldweaver_tpu.ops.pallas_rank_mi import mi_tile_rank_pallas
+
+    rng = np.random.default_rng(rmax_f * 7 + rmax_t)
+    F, T, S = 150, 140, 300
+    w = rng.uniform(0.1, 1.0, S)
+
+    def make(B, rmax):
+        codes = np.zeros((B, S), np.uint8)
+        r = np.zeros(B, np.int64)
+        for i in range(B):
+            ri = int(rng.integers(2, rmax + 1))
+            r[i] = ri
+            codes[i] = rng.integers(0, ri, S)
+            codes[i, :ri] = np.arange(ri)
+        return codes, r
+
+    codes_f, r_f = make(F, rmax_f)
+    codes_t, r_t = make(T, rmax_t)
+    uq_f = (np.arange(5)[None, :] < r_f[:, None]).astype(np.uint8)
+    uq_t = (np.arange(5)[None, :] < r_t[:, None]).astype(np.uint8)
+    neff = float(w.sum())
+    oracle = mi_tile_numpy(
+        codes_f, codes_t, w, r_f, r_t, uq_f, uq_t, neff, rxy_compat=False
+    )
+    pal = mi_tile_rank_pallas(
+        codes_f, codes_t, w, r_f, r_t, neff,
+        tile_f=128, tile_t=128, chunk_s=128,
+    )
+    assert np.allclose(pal, oracle, rtol=2e-4, atol=2e-5), (
+        np.abs(pal - oracle).max()
+    )
