@@ -121,10 +121,28 @@ def genomewide_ld_map(
     plot_save_path: str,
     reducer: Optional[int] = None,
     plot_title: Optional[str] = None,
+    from_pos: Optional[int] = None,
+    to_pos: Optional[int] = None,
 ) -> None:
     """Bird's-eye LD heatmap (R/LDSummaryPlot.R:25-131): links -> symmetric
     sparse matrix over the involved positions, banded aggregation by
-    `reducer`, log10 + 0-1 rescale, heatmap."""
+    `reducer`, log10 + 0-1 rescale, heatmap.  from_pos/to_pos restrict the
+    plot to a genomic window (R/LDSummaryPlot.R:37-48,59-68)."""
+    if (from_pos is None) != (to_pos is None):
+        raise ValueError(
+            "If <from> is provided, <to> must be provided as well!"
+        )
+    if from_pos is not None:
+        if to_pos <= from_pos:
+            raise ValueError("<to> must be greater than <from>!")
+        lr_links = lr_links[
+            (lr_links["pos1"] >= from_pos) & (lr_links["pos1"] <= to_pos)
+            & (lr_links["pos2"] >= from_pos) & (lr_links["pos2"] <= to_pos)
+        ]
+        sr_links = sr_links[
+            (sr_links["pos1"] >= from_pos) & (sr_links["pos1"] <= to_pos)
+            & (sr_links["pos2"] >= from_pos) & (sr_links["pos2"] <= to_pos)
+        ]
     pos_vec = np.unique(
         np.concatenate(
             [
