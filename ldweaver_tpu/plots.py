@@ -198,6 +198,32 @@ def genomewide_ld_map(
     plt.close(fig)
 
 
+def create_network_for_gene(
+    gene: str,
+    annotated_links,
+    netplot_path: str,
+    hops: int = 1,
+    plot_title: str = "",
+) -> None:
+    """1- or 2-hop neighbourhood of one gene from an annotated link table
+    (create_network_for_gene, R/createNetworkPlot.R:169-290)."""
+    df = annotated_links
+    g1 = df["pos1_genreg"].astype(str)
+    g2 = df["pos2_genreg"].astype(str)
+    frontier = {gene}
+    selected = np.zeros(len(df), dtype=bool)
+    for _ in range(max(1, hops)):
+        hit = g1.isin(frontier) | g2.isin(frontier)
+        selected |= hit.to_numpy()
+        frontier = set(g1[hit]) | set(g2[hit])
+    sub = df[selected]
+    if len(sub) == 0:
+        return
+    create_network(
+        sub, netplot_path, plot_title or f"{hops}-hop neighbourhood of {gene}"
+    )
+
+
 def create_network(tophits, netplot_path: str, plot_title: str = "") -> None:
     """Gene-level arc/network plot of tophits (R/createNetworkPlot.R:28-144):
     aggregate links to gene pairs, drop self-loops, draw an arc diagram with

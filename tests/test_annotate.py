@@ -124,3 +124,22 @@ def test_add_annotations_and_tophits():
     # drops ARACNE==0 and syXsy and same-gene (g2Xg2) rows
     assert len(top) == 1
     assert top["pos1"].iloc[0] == 10 and top["pos2"].iloc[0] == 20
+
+
+def test_create_network_for_gene(tmp_path):
+    from ldweaver_tpu.plots import create_network_for_gene
+
+    df = pd.DataFrame(
+        dict(
+            pos1=[1, 2, 3, 4],
+            pos2=[5, 6, 7, 8],
+            MI=[0.5, 0.4, 0.3, 0.2],
+            pos1_genreg=["gA", "gB", "gC", "gD"],
+            pos2_genreg=["gB", "gC", "gD", "gE"],
+        )
+    )
+    out = str(tmp_path / "net.png")
+    create_network_for_gene("gA", df, out, hops=2)
+    import os
+
+    assert os.path.exists(out)
