@@ -44,8 +44,8 @@ def build_parser():
     run.add_argument("--save-additional-outputs", action="store_true")
     run.add_argument("--no-length-validation", action="store_true")
     run.add_argument("--snpeff-jar", dest="snpeff_jar_path")
-    run.add_argument("--backend", default="jax",
-                     choices=["jax", "numpy", "pallas"])
+    run.add_argument("--backend", default="fast",
+                     choices=["jax", "numpy", "pallas", "fast"])
 
     lr = sub.add_parser("lr-analyse",
                         help="standalone long-range analysis "
