@@ -565,6 +565,8 @@ def perform_mi_computation(
         if chkpt is not None:
             chkpt.save(key, sr_links, before, lr_acc)
 
+    from ldweaver_tpu.utils.profiling import maybe_trace
+
     if backend == "fast":
         # rank-compacted, r-stratified fast path (see parallel/fast_sweep)
         from ldweaver_tpu.parallel.fast_sweep import stratify
