@@ -131,9 +131,46 @@ def ldweaver(
     tee = _Tee(info_file)
 
     with contextlib.redirect_stdout(tee):
-        print(f"***** This is LDWeaver-TPU *****")
+        print("***** This is LDWeaver-TPU *****")
+        # capability banner (the reference prints OpenMP status at start,
+        # R/BacGWES.R:247)
+        from ldweaver_tpu.native import get_lib
+
+        print(
+            "Native host kernels:",
+            "available" if get_lib() is not None else "unavailable (NumPy fallback)",
+        )
+        try:
+            import jax
+
+            if backend in ("jax", "pallas", "fast"):
+                devs = jax.devices()
+                print(f"Compute devices: {len(devs)} x {devs[0].platform}")
+        except Exception:
+            pass
         print(f"Performing GWES analysis on: {dset}")
         print(f"Alignment: {aln_path}")
+        print("\n *** Parameters *** \n")
+        if cfg.snp_filt_method == "default":
+            print(
+                f"Default SNP filtering: sites with gap_freq < {cfg.gap_freq} "
+                f"and non-gap minor allele freq > {cfg.maf_freq} will be retained."
+            )
+        else:
+            print(
+                f"Relaxed SNP filtering: sites with gap_freq < {cfg.gap_freq} "
+                f"and minor allele freq > {cfg.maf_freq} will be retained."
+            )
+        print(f"Hamming distance calculation weight: {cfg.hdw_threshold}")
+        print(
+            f"Links <= {cfg.sr_dist} bp-apart will be classified as "
+            f"short-range (sr-links)"
+        )
+        if not cfg.perform_SR_analysis_only:
+            print(
+                f"Approx. top {cfg.lr_retain_links} long range links will be saved"
+            )
+        print(f"Top sr-links with -log10(p) > {cfg.srp_cutoff} will be saved")
 
         add_path = os.path.join(dset, "Additional_Outputs")
         if cfg.save_additional_outputs:
