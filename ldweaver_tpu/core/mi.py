@@ -273,20 +273,25 @@ def estimate_lr_links(
     (circular), scaled up.  r_compat=False computes the exact count.
     """
     nsnp = pos.size
+
+    def lr_counts(p_arr):
+        # #positions farther than sr_dist (circular) = nsnp - window count;
+        # the +-sr_dist window (inclusive) is counted on a doubled sorted
+        # axis, O((n+m) log n) instead of the reference's O(n*m) scan
+        qs = np.sort(pos)
+        D = np.concatenate([qs, qs + g])
+        a = ((p_arr - sr_dist - 1) % g) + 1
+        lo = np.searchsorted(D, a, side="left")
+        hi = np.searchsorted(D, a + 2 * sr_dist, side="right")
+        return nsnp - (hi - lo)
+
     if r_compat:
         subset = min(nsnp, int(round(nsnp * 0.1)))
         rng = RRandomState(1988)
         picks = rng.sample_int(nsnp, subset) - 1  # 0-based
-        total = 0
-        for p in pos[picks]:
-            lens = 0.5 * g - np.abs(np.mod(p - pos, g) - 0.5 * g)
-            total += int((lens > sr_dist).sum())
+        total = int(lr_counts(pos[picks]).sum())
         return total / subset * nsnp / 2.0
-    total = 0
-    for p in pos:
-        lens = 0.5 * g - np.abs(np.mod(p - pos, g) - 0.5 * g)
-        total += int((lens > sr_dist).sum())
-    return total / 2.0
+    return int(lr_counts(pos).sum()) / 2.0
 
 
 # --------------------------------------------------------------------------
