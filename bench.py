@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 NSEQ = int(os.environ.get("BENCH_NSEQ", 1024))
-NSNP = int(os.environ.get("BENCH_NSNP", 32768))
+NSNP = int(os.environ.get("BENCH_NSNP", 65536))
 BLOCK = int(os.environ.get("BENCH_BLOCK", 4096))
 SR_DIST = 20000
 G = 2_200_000  # S. pneumoniae-scale genome
@@ -104,6 +104,7 @@ def bench_cpu_reference(codes, uqe, r, w, block=1024, n_tiles=2):
     import torch
 
     torch.set_num_threads(os.cpu_count())
+    # the reference computes in R doubles throughout (f64 BLAS)
     S = codes.shape[0]
     neff = float(w.sum())
     t_total = 0.0
@@ -111,17 +112,17 @@ def bench_cpu_reference(codes, uqe, r, w, block=1024, n_tiles=2):
     for t in range(n_tiles):
         sl = slice(t * block, (t + 1) * block)
         c = torch.from_numpy(np.ascontiguousarray(codes[:, sl].T))
-        wt = torch.from_numpy(np.sqrt(w)).float()
-        rr = torch.from_numpy(r[sl].astype(np.float32))
-        uq = torch.from_numpy(uqe[sl].astype(np.float32))
+        wt = torch.from_numpy(np.sqrt(w)).double()
+        rr = torch.from_numpy(r[sl].astype(np.float64))
+        uq = torch.from_numpy(uqe[sl].astype(np.float64))
         t0 = time.time()
         # the reference weights both sides by sqrt(hdw)
         # (R/computePairwiseMI.R:238-257)
-        slabs = [((c == a).float() * wt) for a in range(5)]
+        slabs = [((c == a).double() * wt) for a in range(5)]
         pXs = [(m * m).sum(1) for m in slabs]
         den = neff + 0.5 * torch.outer(rr, rr)
         rxy = 0.25 * torch.outer(rr, rr)
-        mi = torch.zeros((block, block))
+        mi = torch.zeros((block, block), dtype=torch.float64)
         for x in range(5):
             pxr = pXs[x] * 0.5 * rr
             for y in range(5):

@@ -444,9 +444,13 @@ def fast_lr_topk(
     pos_dev = jnp.asarray(ranked.pos, jnp.int32)
     valid_dev = jnp.asarray(valid)
 
-    all_pos1, all_pos2, all_mi = [], [], []
+    # dispatch every bucket asynchronously, pull once at the end - pulls
+    # through the relay have high latency and would serialise the buckets
+    pending = []
     with mesh:
-        for (Rf, Rt), plist in sorted(buckets.items()):
+        for (Rf, Rt), plist in sorted(
+            buckets.items(), key=lambda kv: -len(kv[1])
+        ):
             pairs = np.asarray(plist, np.int32)
             npad = (-len(pairs)) % nsh
             pair_valid = np.ones(len(pairs) + npad, bool)
@@ -460,25 +464,29 @@ def fast_lr_topk(
                 mesh_key, block, snp_data.nseq, sr_dist, snp_data.g,
                 min(topk, block * block), Rf, Rt, precision_terms,
             )
-            mv, ms, mx = fn(
+            out = fn(
                 codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
                 jnp.asarray(pairs),
                 jnp.asarray(pair_valid),
                 jnp.asarray(pslots),
                 jnp.asarray(neff),
             )
-            mv = np.asarray(mv)
-            ms = np.asarray(ms).astype(np.int64)
-            mx = np.asarray(mx).astype(np.int64)
-            keep = np.isfinite(mv)
-            mv, ms, mx = mv[keep], ms[keep], mx[keep]
-            bi = pairs[ms, 0].astype(np.int64)
-            bj = pairs[ms, 1].astype(np.int64)
-            ii = mx // block
-            jj = mx % block
-            all_pos2.append(ranked.pos[bi * block + ii])
-            all_pos1.append(ranked.pos[bj * block + jj])
-            all_mi.append(mv)
+            pending.append((pairs, out))
+
+    all_pos1, all_pos2, all_mi = [], [], []
+    for pairs, (mv_d, ms_d, mx_d) in pending:
+        mv = np.asarray(mv_d)
+        ms = np.asarray(ms_d).astype(np.int64)
+        mx = np.asarray(mx_d).astype(np.int64)
+        keep = np.isfinite(mv)
+        mv, ms, mx = mv[keep], ms[keep], mx[keep]
+        bi = pairs[ms, 0].astype(np.int64)
+        bj = pairs[ms, 1].astype(np.int64)
+        ii = mx // block
+        jj = mx % block
+        all_pos2.append(ranked.pos[bi * block + ii])
+        all_pos1.append(ranked.pos[bj * block + jj])
+        all_mi.append(mv)
 
     pos1 = np.concatenate(all_pos1) if all_pos1 else np.zeros(0, np.int64)
     pos2 = np.concatenate(all_pos2) if all_pos2 else np.zeros(0, np.int64)
