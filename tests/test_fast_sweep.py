@@ -259,3 +259,23 @@ def test_rank_tile_all_bucket_shapes(rmax_f, rmax_t):
     assert np.allclose(fast, oracle, rtol=2e-4, atol=2e-5), (
         np.abs(fast - oracle).max()
     )
+
+
+def test_bench_machinery_smoke():
+    """bench.py's synth + fast_lr_topk path runs end-to-end (tiny shapes,
+    CPU) so the benchmark cannot bit-rot."""
+    import bench
+
+    codes, pos, uqe, r, w = bench.synth(1024, 128)
+    from ldweaver_tpu.core.snp_tensor import SnpData
+
+    acgtn = np.zeros((5, codes.shape[1]), np.int64)
+    for k in range(5):
+        acgtn[k] = (codes == k).sum(axis=0)
+    sd = SnpData(codes, pos, bench.G, [str(i) for i in range(128)],
+                 acgtn, uqe, r)
+    from ldweaver_tpu.parallel.fast_sweep import fast_lr_topk
+
+    pos1, pos2, mi = fast_lr_topk(sd, w, block=256, sr_dist=20000, topk=64)
+    assert mi.size == 64 and np.isfinite(mi).all()
+    assert (np.minimum(pos1, pos2) >= 1).all()
