@@ -398,10 +398,11 @@ def sweep_block_pair_fast(
 
     if bi == bj:
         ii, jj = np.tril_indices(B, -1)
+        ii = ii.astype(np.int32)
+        jj = jj.astype(np.int32)
     else:
-        ii, jj = np.meshgrid(np.arange(B), np.arange(B), indexing="ij")
-        ii = ii.ravel()
-        jj = jj.ravel()
+        ii = np.repeat(np.arange(B, dtype=np.int32), B)
+        jj = np.tile(np.arange(B, dtype=np.int32), B)
     ok = val_f[ii] & val_t[jj]
     ii, jj = ii[ok], jj[ok]
     if ii.size == 0:
