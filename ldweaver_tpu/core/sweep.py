@@ -275,7 +275,7 @@ def sweep_block_pair_fast_summary(
     w32, wparts = _wparts(hdw)
     codes_f = np.ascontiguousarray(ranked.rank_codes[:, f_sl].T)
     codes_t = np.ascontiguousarray(ranked.rank_codes[:, t_sl].T)
-    thresh, n_above, vals, idx, sub = fn(
+    thresh, n_above, n_row_max, vals, idx, sub = fn(
         jnp.asarray(codes_f),
         jnp.asarray(codes_t),
         jnp.asarray(w32),
@@ -295,8 +295,8 @@ def sweep_block_pair_fast_summary(
         jnp.asarray(col_pad),
     )
     n_above = int(n_above)
-    if n_above > vals.shape[0]:
-        return False  # saturated: caller falls back to the full tile
+    if n_above > vals.shape[0] or int(n_row_max) > 16:
+        return False  # saturated (globally or per-row): full-tile fallback
     thresh = float(thresh)
     vals = np.asarray(vals, np.float64)
     idx = np.asarray(idx, np.int64)

@@ -234,15 +234,20 @@ def _build_rank_tile_summary(
         masked = jnp.where(lr_mask, mi, jnp.nan)
         thresh = jnp.nanquantile(masked, prob)  # type-7 interpolation
         neg = jnp.where(lr_mask, mi, -jnp.inf)
-        n_above = (neg >= thresh).sum()
-        k_row = min(64, Bt, K)
+        above = neg >= thresh
+        n_above = above.sum()
+        # exact-saturation guards: the host falls back to a full-tile pull
+        # if either the global candidate count exceeds K or any single row
+        # exceeds the per-row top-k capacity
+        n_row_max = above.sum(axis=1).max()
+        k_row = min(16, Bt, K)
         row_vals, row_idx = jax.lax.top_k(neg, k_row)
         rows = jax.lax.broadcasted_iota(jnp.int32, (Bf, k_row), 0)
         flat = rows * Bt + row_idx
         vals, sel = jax.lax.top_k(row_vals.ravel(), min(K, Bf * k_row))
         idx = flat.ravel()[sel]
         sub = mi[row_sel][:, col_sel]
-        return thresh, n_above, vals, idx, sub
+        return thresh, n_above, n_row_max, vals, idx, sub
 
     return jax.jit(fn)
 
@@ -345,10 +350,17 @@ def _build_bucket_sweep(
             lr_ok = ok & (lens > sr_dist)
 
             # two-stage top-k: a flat top_k over B*B elements is O(n*k)
-            # and dominates the sweep; reduce per row first (k_row per
-            # SNP), then across the K_ROW*B survivors
+            # and dominates the sweep (measured 8.8 ms/tile at k=64 vs
+            # 1.8 ms for matmuls+epilogue); reduce per row first with a
+            # small k_row, then across the k_row*B survivors.  The result
+            # is exact unless a single SNP row holds more than k_row of
+            # the global top-k within one tile (vanishingly unlikely at
+            # real retention rates; the pipeline's summary path adds an
+            # exact per-row saturation fallback).
             masked = jnp.where(lr_ok, mi, -jnp.inf)
-            k_row = min(64, block, topk)
+            # adaptive row capacity: small tiles are cheap and can be hot
+            # (dense top-k), large tiles have sparse candidates
+            k_row = min(64 if block <= 1024 else 8, block, topk)
             row_vals, row_idx = jax.lax.top_k(masked, k_row)  # [B, k_row]
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, (block, k_row), 0
