@@ -145,22 +145,27 @@ def _rank_tile_mi(codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt,
     pX = [((codes_f == x).astype(f32) * w32).sum(axis=1) for x in range(Rf)]
     pY = [((codes_t == y).astype(f32) * w32).sum(axis=1) for y in range(Rt)]
 
-    rhs = [(codes_t == y).astype(jnp.bfloat16) for y in range(max(Rt - 1, 1))]
+    # fold the weight-split terms into ONE deeper contraction per allele
+    # pair: lhs_cat [B, T*S] @ rhs tiled [B, T*S] - same FLOPs as T
+    # separate dots but a single K=T*S matmul keeps the MXU pipelined
     counts: Dict[Tuple[int, int], object] = {}
+    rhs1 = [(codes_t == y).astype(jnp.bfloat16) for y in range(max(Rt - 1, 1))]
+    rhs_cat = [
+        jnp.concatenate([rv] * precision_terms, axis=1) for rv in rhs1
+    ]
     for x in range(max(Rf - 1, 1)):
         onehot_f = codes_f == x
-        lhs_terms = [
-            jnp.where(onehot_f, wp[None, :], jnp.bfloat16(0))
-            for wp in wparts[:precision_terms]
-        ]
+        lhs_cat = jnp.concatenate(
+            [
+                jnp.where(onehot_f, wp[None, :], jnp.bfloat16(0))
+                for wp in wparts[:precision_terms]
+            ],
+            axis=1,
+        )
         for y in range(max(Rt - 1, 1)):
-            acc = None
-            for lt in lhs_terms:
-                d = jax.lax.dot(
-                    lt, rhs[y].T, preferred_element_type=f32
-                )
-                acc = d if acc is None else acc + d
-            counts[(x, y)] = acc
+            counts[(x, y)] = jax.lax.dot(
+                lhs_cat, rhs_cat[y].T, preferred_element_type=f32
+            )
 
     # marginal closure for the last column / row / corner
     if Rf == 1:
