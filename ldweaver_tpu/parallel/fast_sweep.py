@@ -461,12 +461,13 @@ def fast_lr_topk(
     pos_dev = jnp.asarray(ranked.pos, jnp.int32)
     valid_dev = jnp.asarray(valid)
 
-    # dispatch every bucket asynchronously, pull once at the end - pulls
-    # through the relay have high latency and would serialise the buckets
+    # dispatch every bucket asynchronously; merge the per-bucket top-k ON
+    # DEVICE so a single small pull finishes the sweep (pulls through the
+    # relay have high latency and would serialise the buckets)
     pending = []
     with mesh:
-        for (Rf, Rt), plist in sorted(
-            buckets.items(), key=lambda kv: -len(kv[1])
+        for bidx, ((Rf, Rt), plist) in enumerate(
+            sorted(buckets.items(), key=lambda kv: -len(kv[1]))
         ):
             pairs = np.asarray(plist, np.int32)
             npad = (-len(pairs)) % nsh
@@ -488,25 +489,56 @@ def fast_lr_topk(
                 jnp.asarray(pslots),
                 jnp.asarray(neff),
             )
-            pending.append((pairs, out))
+            pending.append((bidx, pairs, out))
 
-    all_pos1, all_pos2, all_mi = [], [], []
-    for pairs, (mv_d, ms_d, mx_d) in pending:
-        mv = np.asarray(mv_d)
-        ms = np.asarray(ms_d).astype(np.int64)
-        mx = np.asarray(mx_d).astype(np.int64)
-        keep = np.isfinite(mv)
-        mv, ms, mx = mv[keep], ms[keep], mx[keep]
-        bi = pairs[ms, 0].astype(np.int64)
-        bj = pairs[ms, 1].astype(np.int64)
-        ii = mx // block
-        jj = mx % block
-        all_pos2.append(ranked.pos[bi * block + ii])
-        all_pos1.append(ranked.pos[bj * block + jj])
-        all_mi.append(mv)
+        k_each = min(topk, block * block)
+        merge = _build_topk_merge(len(pending), k_each, topk)
+        flat_args = []
+        for bidx, pairs, (mv_d, ms_d, mx_d) in pending:
+            flat_args.extend([mv_d, ms_d, mx_d])
+        mv_m, mb_m, ms_m, mx_m = merge(*flat_args)
 
-    pos1 = np.concatenate(all_pos1) if all_pos1 else np.zeros(0, np.int64)
-    pos2 = np.concatenate(all_pos2) if all_pos2 else np.zeros(0, np.int64)
-    mi = np.concatenate(all_mi) if all_mi else np.zeros(0)
-    order = np.argsort(-mi, kind="stable")[:topk]
-    return pos1[order], pos2[order], mi[order]
+    mv = np.asarray(mv_m)
+    mb = np.asarray(mb_m).astype(np.int64)
+    ms = np.asarray(ms_m).astype(np.int64)
+    mx = np.asarray(mx_m).astype(np.int64)
+    keep = np.isfinite(mv)
+    mv, mb, ms, mx = mv[keep], mb[keep], ms[keep], mx[keep]
+    pairs_by_bucket = {bidx: pairs for bidx, pairs, _ in pending}
+    bi = np.array(
+        [pairs_by_bucket[b][s, 0] for b, s in zip(mb, ms)], np.int64
+    )
+    bj = np.array(
+        [pairs_by_bucket[b][s, 1] for b, s in zip(mb, ms)], np.int64
+    )
+    ii = mx // block
+    jj = mx % block
+    pos2 = ranked.pos[bi * block + ii]
+    pos1 = ranked.pos[bj * block + jj]
+    order = np.argsort(-mv, kind="stable")
+    return pos1[order], pos2[order], mv[order]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_topk_merge(n_buckets: int, k_each: int, topk: int):
+    """Device-side merge of per-bucket top-k triples -> global top-k
+    (vals, bucket_id, pair_slot, in-tile idx)."""
+    import jax
+    import jax.numpy as jnp
+
+    def merge(*flat):
+        vs, bs, ss, xs = [], [], [], []
+        for b in range(n_buckets):
+            mv, ms, mx = flat[3 * b : 3 * b + 3]
+            vs.append(mv)
+            bs.append(jnp.full((mv.shape[0],), b, jnp.int32))
+            ss.append(ms)
+            xs.append(mx)
+        v = jnp.concatenate(vs)
+        bcat = jnp.concatenate(bs)
+        s = jnp.concatenate(ss)
+        x = jnp.concatenate(xs)
+        out_v, sel = jax.lax.top_k(v, min(topk, v.shape[0]))
+        return out_v, bcat[sel], s[sel], x[sel]
+
+    return jax.jit(merge)
