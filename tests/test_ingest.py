@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from ldweaver_tpu.io.fasta import (
+    extract_codes,
     filter_sites,
     iter_fasta,
     parse_fasta_alignment,
@@ -100,3 +101,30 @@ def test_snpdata_roundtrip(tmp_path, toy_snp_data):
     assert np.array_equal(sd2.pos, toy_snp_data.pos)
     assert sd2.g == toy_snp_data.g
     assert sd2.seq_names == toy_snp_data.seq_names
+
+
+def test_native_and_python_parsers_agree(tmp_path):
+    """Fuzz: wrapped lines, CRLF, mixed case, gaps - native C++ tokenizer
+    vs the pure-Python path must agree exactly."""
+    rng = np.random.default_rng(77)
+    nseq, L = 23, 402
+    alphabet = np.array(list("ACGTacgtNn-xX"))
+    seqs = alphabet[rng.integers(0, alphabet.size, size=(nseq, L))]
+    path = str(tmp_path / "fuzz.fa")
+    with open(path, "wt", newline="") as fh:
+        for i in range(nseq):
+            fh.write(f">seq{i} extra description\r\n")
+            s = "".join(seqs[i])
+            width = int(rng.integers(37, 91))
+            for j in range(0, L, width):
+                fh.write(s[j : j + width] + ("\r\n" if i % 2 else "\n"))
+    n1, l1, names1, c1 = scan_alignment(path, use_native=True)
+    n2, l2, names2, c2 = scan_alignment(path, use_native=False)
+    assert (n1, l1) == (n2, l2) == (nseq, L)
+    assert names1 == names2
+    assert np.array_equal(c1, c2)
+    pos = np.arange(1, L + 1, 7)
+    codes1, t1, _ = extract_codes(path, pos, nseq, use_native=True)
+    codes2, t2, _ = extract_codes(path, pos, nseq, use_native=False)
+    assert np.array_equal(codes1, codes2)
+    assert np.array_equal(t1, t2)
