@@ -146,9 +146,7 @@ def sweep_block_pair(
         for ci in range(1, nclust + 1):
             m = (t.clust1 == ci) | (t.clust2 == ci)  # .compareToRow, :373
             if m.any():
-                sr_links[ci - 1] = LinkTable.concat(
-                    [sr_links[ci - 1], t.take(np.flatnonzero(m))]
-                )
+                sr_links[ci - 1].append(t.take(np.flatnonzero(m)))
 
 
 def _emit_pairs(
@@ -197,9 +195,7 @@ def _emit_pairs(
         for ci in range(1, len(sr_links) + 1):
             m = (t.clust1 == ci) | (t.clust2 == ci)
             if m.any():
-                sr_links[ci - 1] = LinkTable.concat(
-                    [sr_links[ci - 1], t.take(np.flatnonzero(m))]
-                )
+                sr_links[ci - 1].append(t.take(np.flatnonzero(m)))
 
 
 def _circular_window_counts(p: np.ndarray, q: np.ndarray, g: int,
@@ -447,11 +443,12 @@ class _BlockCheckpoint:
 
     def save(self, key, sr_links, before_counts, lr_acc):
         payload = {}
-        for ci, t in enumerate(sr_links):
+        for ci, parts in enumerate(sr_links):
             n0 = before_counts[ci]
-            if len(t) > n0:
+            if len(parts) > n0:
+                tail = LinkTable.concat(parts[n0:])
                 for f in ("pos1", "pos2", "clust1", "clust2", "len", "MI"):
-                    payload[f"sr{ci}_{f}"] = getattr(t, f)[n0:]
+                    payload[f"sr{ci}_{f}"] = getattr(tail, f)
         for k, cols in enumerate(lr_acc):
             for j, name in enumerate(
                 ("pos1", "pos2", "clust1", "clust2", "len", "MI")
@@ -470,7 +467,7 @@ class _BlockCheckpoint:
                     *[z[f"sr{ci}_{f}"]
                       for f in ("pos1", "pos2", "clust1", "clust2", "len", "MI")]
                 )
-                sr_links[ci] = LinkTable.concat([sr_links[ci], part])
+                sr_links[ci].append(part)
         for k in range(int(z["n_lr"])):
             lr_sink(
                 *[z[f"lr{k}_{name}"]
@@ -507,7 +504,9 @@ def perform_mi_computation(
     max_blk_sz = round_blk_sz(max_blk_sz)  # :69
     blocks = make_blocks(snp_data.nsnp, max_blk_sz)
     nclust = cds_var.nclust
-    sr_links: List[LinkTable] = [LinkTable.empty() for _ in range(nclust)]
+    # per-cluster PART lists (concatenated once after the sweep: a
+    # concat per block would be quadratic in total links)
+    sr_links: List[list] = [[] for _ in range(nclust)]
     neff = float(np.asarray(hdw, dtype=np.float64).sum())  # :77
 
     lr_links_approx = None
@@ -636,8 +635,9 @@ def perform_mi_computation(
                     f"done in {time.time() - t0:.2f} s"
                 )
 
+    sr_tables = [LinkTable.concat(parts) for parts in sr_links]
     sr_links_red, sr_check, fits = merge_and_sort_sr_links(
-        nclust, sr_links, sr_dist, srp_cutoff
+        nclust, sr_tables, sr_dist, srp_cutoff
     )
 
     if plt_folder is not None:

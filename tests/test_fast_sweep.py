@@ -144,7 +144,7 @@ def test_summary_transfer_matches_full(toy_snp_data, toy_hdw):
 
     results = {}
     for transfer in ("full", "summary"):
-        sr_links = [LinkTable.empty(), LinkTable.empty()]
+        sr_links = [[], []]  # per-cluster part lists
         lr_rows = []
 
         def sink(p1, p2, c1, c2, ln, mi):
@@ -169,7 +169,8 @@ def test_summary_transfer_matches_full(toy_snp_data, toy_hdw):
         )
         srk = {
             (int(a), int(b))
-            for t in sr_links
+            for parts in sr_links
+            for t in parts
             for a, b in zip(t.pos1, t.pos2)
         }
         results[transfer] = (lr, srk)
