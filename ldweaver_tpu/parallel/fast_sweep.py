@@ -412,16 +412,35 @@ def _build_bucket_sweep(
 _MESH_STORE: Dict[int, object] = {}
 
 
-def fast_lr_topk(
+@dataclasses.dataclass
+class FastSweepState:
+    """One-time device preparation for the fast sweep (rank-encoded SNP
+    tensor resident in HBM + bucketed pair lists).  Amortised across the
+    whole O(nsnp^2) sweep; prepare once, sweep many."""
+
+    mesh: object
+    mesh_key: int
+    ranked: RankedSnps
+    buckets: Dict[Tuple[int, int], List[Tuple[int, int]]]
+    codes_dev: object
+    wparts_dev: object
+    w32_dev: object
+    r_dev: object
+    pos_dev: object
+    valid_dev: object
+    neff: np.float32
+    block: int
+    nseq: int
+    g: int
+
+
+def prepare_fast_sweep(
     snp_data,
     hdw: np.ndarray,
     block: int = 4096,
-    sr_dist: int = 20000,
-    topk: int = 4096,
     n_devices: Optional[int] = None,
-    precision_terms: int = 3,
-):
-    """Full fast sweep -> global long-range top-k (pos1, pos2, MI)."""
+) -> FastSweepState:
+    """Rank-encode + stratify + move the SNP tensor to device."""
     import jax.numpy as jnp
 
     from ldweaver_tpu.parallel.sweep import get_mesh
@@ -429,7 +448,6 @@ def fast_lr_topk(
     mesh = get_mesh(n_devices)
     mesh_key = id(mesh)
     _MESH_STORE[mesh_key] = mesh
-    nsh = mesh.devices.size
 
     ranked = stratify(
         snp_data.codes, snp_data.acgtn_table, snp_data.pos, snp_data.r, block
@@ -437,29 +455,62 @@ def fast_lr_topk(
     nb = ranked.rank_codes.shape[1] // block
     valid = np.arange(ranked.rank_codes.shape[1]) < snp_data.nsnp
 
-    # bucket block-pairs by (Rf, Rt) of their blocks
     buckets: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
     for i in range(nb):
         for j in range(i, nb):
             key = (int(ranked.block_rmax[i]), int(ranked.block_rmax[j]))
             buckets.setdefault(key, []).append((i, j))
 
-    w32 = np.asarray(hdw, np.float32)
-    parts = []
-    resid = w32.copy()
-    for _ in range(3):
-        p = resid.astype(jnp.bfloat16)
-        parts.append(np.asarray(p))
-        resid = resid - np.asarray(p, np.float32)
-    wparts = np.stack(parts)
-    neff = np.float32(np.asarray(hdw, np.float64).sum())
+    w32, wparts = _wparts(hdw)
+    return FastSweepState(
+        mesh=mesh,
+        mesh_key=mesh_key,
+        ranked=ranked,
+        buckets=buckets,
+        codes_dev=jnp.asarray(ranked.rank_codes),
+        wparts_dev=jnp.asarray(wparts),
+        w32_dev=jnp.asarray(w32),
+        r_dev=jnp.asarray(ranked.r),
+        pos_dev=jnp.asarray(ranked.pos, jnp.int32),
+        valid_dev=jnp.asarray(valid),
+        neff=np.float32(np.asarray(hdw, np.float64).sum()),
+        block=block,
+        nseq=snp_data.nseq,
+        g=snp_data.g,
+    )
 
-    codes_dev = jnp.asarray(ranked.rank_codes)
-    wparts_dev = jnp.asarray(wparts)
-    w32_dev = jnp.asarray(w32)
-    r_dev = jnp.asarray(ranked.r)
-    pos_dev = jnp.asarray(ranked.pos, jnp.int32)
-    valid_dev = jnp.asarray(valid)
+
+def fast_lr_topk(
+    snp_data=None,
+    hdw: np.ndarray = None,
+    block: int = 4096,
+    sr_dist: int = 20000,
+    topk: int = 4096,
+    n_devices: Optional[int] = None,
+    precision_terms: int = 3,
+    state: Optional[FastSweepState] = None,
+):
+    """Full fast sweep -> global long-range top-k (pos1, pos2, MI).
+
+    Pass `state` from prepare_fast_sweep to skip the one-time host prep
+    and transfer (e.g. when sweeping repeatedly or timing the sweep)."""
+    import jax.numpy as jnp
+
+    if state is None:
+        state = prepare_fast_sweep(snp_data, hdw, block, n_devices)
+    mesh = state.mesh
+    mesh_key = state.mesh_key
+    nsh = mesh.devices.size
+    ranked = state.ranked
+    buckets = state.buckets
+    block = state.block
+    codes_dev = state.codes_dev
+    wparts_dev = state.wparts_dev
+    w32_dev = state.w32_dev
+    r_dev = state.r_dev
+    pos_dev = state.pos_dev
+    valid_dev = state.valid_dev
+    neff = state.neff
 
     # dispatch every bucket asynchronously; merge the per-bucket top-k ON
     # DEVICE so a single small pull finishes the sweep (pulls through the
@@ -479,7 +530,7 @@ def fast_lr_topk(
                 pair_valid[-npad:] = False
             pslots = np.arange(len(pairs), dtype=np.int32)
             fn = _build_bucket_sweep(
-                mesh_key, block, snp_data.nseq, sr_dist, snp_data.g,
+                mesh_key, block, state.nseq, sr_dist, state.g,
                 min(topk, block * block), Rf, Rt, precision_terms,
             )
             out = fn(
