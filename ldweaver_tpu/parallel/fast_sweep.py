@@ -230,7 +230,8 @@ def _build_rank_tile_summary(
         jj = jax.lax.broadcasted_iota(jnp.int32, (Bf, Bt), 1)
         tri = jnp.where(same_block, ii > jj, True)
         ok = tri & val_f[:, None] & val_t[None, :]
-        d = jnp.mod(pos_t[None, :] - pos_f[:, None], g)
+        diff = pos_t[None, :] - pos_f[:, None]
+        d = diff + jnp.where(diff < 0, g, 0)
         lens = 0.5 * g.astype(jnp.float32) - jnp.abs(
             d.astype(jnp.float32) - 0.5 * g.astype(jnp.float32)
         )
@@ -350,7 +351,10 @@ def _build_bucket_sweep(
             same_block = pair[0] == pair[1]
             tri = jnp.where(same_block, ii > jj, True)
             ok = tri & val_f[:, None] & val_t[None, :] & pvalid
-            d = jnp.mod(pos_t[None, :] - pos_f[:, None], g)
+            # branchless circular distance: positions are in [1, g] so
+            # (a - b) mod g == a - b + (a < b) * g  (no integer division)
+            diff = pos_t[None, :] - pos_f[:, None]
+            d = diff + jnp.where(diff < 0, g, 0)
             lens = 0.5 * g - jnp.abs(d.astype(jnp.float32) - 0.5 * g)
             lr_ok = ok & (lens > sr_dist)
 
@@ -363,16 +367,41 @@ def _build_bucket_sweep(
             # real retention rates; the pipeline's summary path adds an
             # exact per-row saturation fallback).
             masked = jnp.where(lr_ok, mi, -jnp.inf)
-            # adaptive row capacity: small tiles are cheap and can be hot
-            # (dense top-k), large tiles have sparse candidates
-            k_row = min(64 if block <= 1024 else 8, block, topk)
-            row_vals, row_idx = jax.lax.top_k(masked, k_row)  # [B, k_row]
-            rows = jax.lax.broadcasted_iota(
-                jnp.int32, (block, k_row), 0
-            )
-            flat = rows * block + row_idx
-            vals, sel = jax.lax.top_k(row_vals.ravel(), min(topk, block * k_row))
-            idx = flat.ravel()[sel]
+            if block <= 1024:
+                # small tiles: cheap and can be top-k dense
+                k_row = min(64, block, topk)
+                row_vals, row_idx = jax.lax.top_k(masked, k_row)
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (block, k_row), 0
+                )
+                flat = rows * block + row_idx
+                vals, sel = jax.lax.top_k(
+                    row_vals.ravel(), min(topk, block * k_row)
+                )
+                idx = flat.ravel()[sel]
+            else:
+                # chunked-max first stage: top_k(1) per 128-wide chunk is
+                # a single pass (row top_k(k) costs ~k passes); candidates
+                # are sparse at scale so one-per-chunk loses nothing
+                C = 128
+                resh = masked.reshape(block, block // C, C)
+                c_vals, c_idx = jax.lax.top_k(resh, 1)  # [B, B/C, 1]
+                c_vals = c_vals[..., 0]
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (block, block // C), 0
+                )
+                cols = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (block, block // C), 1
+                    )
+                    * C
+                    + c_idx[..., 0]
+                )
+                flat = rows * block + cols
+                vals, sel = jax.lax.top_k(
+                    c_vals.ravel(), min(topk, block * (block // C))
+                )
+                idx = flat.ravel()[sel]
             npick = vals.shape[0]
             cat_v = jnp.concatenate([best_v, vals])
             cat_s = jnp.concatenate(
