@@ -28,7 +28,7 @@ import time
 import numpy as np
 
 NSEQ = int(os.environ.get("BENCH_NSEQ", 1024))
-NSNP = int(os.environ.get("BENCH_NSNP", 65536))
+NSNP = int(os.environ.get("BENCH_NSNP", 131072))
 BLOCK = int(os.environ.get("BENCH_BLOCK", 4096))
 SR_DIST = 20000
 G = 2_200_000  # S. pneumoniae-scale genome
