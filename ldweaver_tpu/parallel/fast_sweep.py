@@ -204,6 +204,45 @@ def _rank_tile_mi(codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt,
     return mi
 
 
+def _tile_lr_topk(masked, block_f: int, block_t: int, topk: int):
+    """Two-stage top-k of a masked [Bf, Bt] tile -> (vals, flat idx).
+
+    A flat top_k over B*B elements is O(n*k) and dominates the sweep
+    (measured 8.8 ms/tile at k=64 vs 1.8 ms for matmuls+epilogue); reduce
+    per row (small tiles) or per 128-wide chunk (large tiles) first, then
+    across the survivors.  Exact unless one row/chunk holds more than the
+    stage-1 capacity of the global top-k within a single tile (the
+    pipeline's summary path adds an exact saturation fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    if block_t <= 1024:
+        k_row = min(64, block_t, topk)
+        row_vals, row_idx = jax.lax.top_k(masked, k_row)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_f, k_row), 0)
+        flat = rows * block_t + row_idx
+        vals, sel = jax.lax.top_k(
+            row_vals.ravel(), min(topk, block_f * k_row)
+        )
+        return vals, flat.ravel()[sel]
+    # chunked-max first stage: top_k(1) per 128-wide chunk is a single
+    # pass; candidates are sparse at scale so one-per-chunk loses nothing
+    C = 128
+    resh = masked.reshape(block_f, block_t // C, C)
+    c_vals, c_idx = jax.lax.top_k(resh, 1)  # [Bf, Bt/C, 1]
+    c_vals = c_vals[..., 0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_f, block_t // C), 0)
+    cols = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_f, block_t // C), 1) * C
+        + c_idx[..., 0]
+    )
+    flat = rows * block_t + cols
+    vals, sel = jax.lax.top_k(
+        c_vals.ravel(), min(topk, block_f * (block_t // C))
+    )
+    return vals, flat.ravel()[sel]
+
+
 @functools.lru_cache(maxsize=None)
 def _build_rank_tile_summary(
     Bf: int, Bt: int, Rf: int, Rt: int, terms: int, K: int,
@@ -358,50 +397,8 @@ def _build_bucket_sweep(
             lens = 0.5 * g - jnp.abs(d.astype(jnp.float32) - 0.5 * g)
             lr_ok = ok & (lens > sr_dist)
 
-            # two-stage top-k: a flat top_k over B*B elements is O(n*k)
-            # and dominates the sweep (measured 8.8 ms/tile at k=64 vs
-            # 1.8 ms for matmuls+epilogue); reduce per row first with a
-            # small k_row, then across the k_row*B survivors.  The result
-            # is exact unless a single SNP row holds more than k_row of
-            # the global top-k within one tile (vanishingly unlikely at
-            # real retention rates; the pipeline's summary path adds an
-            # exact per-row saturation fallback).
             masked = jnp.where(lr_ok, mi, -jnp.inf)
-            if block <= 1024:
-                # small tiles: cheap and can be top-k dense
-                k_row = min(64, block, topk)
-                row_vals, row_idx = jax.lax.top_k(masked, k_row)
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (block, k_row), 0
-                )
-                flat = rows * block + row_idx
-                vals, sel = jax.lax.top_k(
-                    row_vals.ravel(), min(topk, block * k_row)
-                )
-                idx = flat.ravel()[sel]
-            else:
-                # chunked-max first stage: top_k(1) per 128-wide chunk is
-                # a single pass (row top_k(k) costs ~k passes); candidates
-                # are sparse at scale so one-per-chunk loses nothing
-                C = 128
-                resh = masked.reshape(block, block // C, C)
-                c_vals, c_idx = jax.lax.top_k(resh, 1)  # [B, B/C, 1]
-                c_vals = c_vals[..., 0]
-                rows = jax.lax.broadcasted_iota(
-                    jnp.int32, (block, block // C), 0
-                )
-                cols = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (block, block // C), 1
-                    )
-                    * C
-                    + c_idx[..., 0]
-                )
-                flat = rows * block + cols
-                vals, sel = jax.lax.top_k(
-                    c_vals.ravel(), min(topk, block * (block // C))
-                )
-                idx = flat.ravel()[sel]
+            vals, idx = _tile_lr_topk(masked, block, block, topk)
             npick = vals.shape[0]
             cat_v = jnp.concatenate([best_v, vals])
             cat_s = jnp.concatenate(
@@ -461,6 +458,9 @@ class FastSweepState:
     block: int
     nseq: int
     g: int
+    streaming: bool = False
+    slab_cache: object = None
+    panel: int = 0
 
 
 def prepare_fast_sweep(
@@ -468,10 +468,19 @@ def prepare_fast_sweep(
     hdw: np.ndarray,
     block: int = 4096,
     n_devices: Optional[int] = None,
+    hbm_budget_bytes: Optional[int] = None,
 ) -> FastSweepState:
-    """Rank-encode + stratify + move the SNP tensor to device."""
+    """Rank-encode + stratify + move the SNP tensor to device.
+
+    If the rank-code tensor exceeds `hbm_budget_bytes` (e.g. 50k seqs x
+    500k SNPs = 25 GB > a 16 GB v5e), the sweep switches to slab
+    STREAMING: tiles are fed from an LRU device cache of [block, nseq]
+    slabs in panel order (see parallel/slabs.py), so HBM holds only the
+    working set while host->device traffic stays ~panel-fold below the
+    naive 2-uploads-per-tile."""
     import jax.numpy as jnp
 
+    from ldweaver_tpu.parallel.slabs import SlabCache, plan_budget
     from ldweaver_tpu.parallel.sweep import get_mesh
 
     mesh = get_mesh(n_devices)
@@ -490,13 +499,16 @@ def prepare_fast_sweep(
             key = (int(ranked.block_rmax[i]), int(ranked.block_rmax[j]))
             buckets.setdefault(key, []).append((i, j))
 
+    streaming, max_slabs, panel = plan_budget(
+        snp_data.nseq, block, nb, hbm_budget_bytes
+    )
     w32, wparts = _wparts(hdw)
     return FastSweepState(
         mesh=mesh,
         mesh_key=mesh_key,
         ranked=ranked,
         buckets=buckets,
-        codes_dev=jnp.asarray(ranked.rank_codes),
+        codes_dev=None if streaming else jnp.asarray(ranked.rank_codes),
         wparts_dev=jnp.asarray(wparts),
         w32_dev=jnp.asarray(w32),
         r_dev=jnp.asarray(ranked.r),
@@ -506,6 +518,11 @@ def prepare_fast_sweep(
         block=block,
         nseq=snp_data.nseq,
         g=snp_data.g,
+        streaming=streaming,
+        slab_cache=(
+            SlabCache(ranked.rank_codes, block, max_slabs) if streaming else None
+        ),
+        panel=panel,
     )
 
 
@@ -518,6 +535,7 @@ def fast_lr_topk(
     n_devices: Optional[int] = None,
     precision_terms: int = 3,
     state: Optional[FastSweepState] = None,
+    hbm_budget_bytes: Optional[int] = None,
 ):
     """Full fast sweep -> global long-range top-k (pos1, pos2, MI).
 
@@ -526,7 +544,13 @@ def fast_lr_topk(
     import jax.numpy as jnp
 
     if state is None:
-        state = prepare_fast_sweep(snp_data, hdw, block, n_devices)
+        state = prepare_fast_sweep(
+            snp_data, hdw, block, n_devices, hbm_budget_bytes
+        )
+    if state.streaming:
+        return _fast_lr_topk_streaming(
+            state, sr_dist, topk, precision_terms
+        )
     mesh = state.mesh
     mesh_key = state.mesh_key
     nsh = mesh.devices.size
@@ -595,6 +619,150 @@ def fast_lr_topk(
     jj = mx % block
     pos2 = ranked.pos[bi * block + ii]
     pos1 = ranked.pos[bj * block + jj]
+    order = np.argsort(-mv, kind="stable")
+    return pos1[order], pos2[order], mv[order]
+
+
+# --------------------------------------------------------------------------
+# Slab-streaming sweep (SNP tensor > HBM): per-tile dispatch fed by the
+# SlabCache, LR top-k folded on device in chunks
+# --------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _build_stream_tile(
+    block: int, nseq: int, Rf: int, Rt: int, terms: int, topk: int,
+    sr_dist: int, g: int,
+):
+    """Jitted single streaming tile: slab operands come from the cache,
+    per-site arrays stay device-resident and are dynamically sliced."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(codes_f, codes_t, r, pos, valid, fs, ts, w32, wparts, neff,
+           same_block):
+        r_f = jax.lax.dynamic_slice(r, (fs,), (block,)).astype(jnp.float32)
+        r_t = jax.lax.dynamic_slice(r, (ts,), (block,)).astype(jnp.float32)
+        pos_f = jax.lax.dynamic_slice(pos, (fs,), (block,))
+        pos_t = jax.lax.dynamic_slice(pos, (ts,), (block,))
+        val_f = jax.lax.dynamic_slice(valid, (fs,), (block,))
+        val_t = jax.lax.dynamic_slice(valid, (ts,), (block,))
+        mi = _rank_tile_mi(
+            codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt, terms
+        )
+        ii = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+        tri = jnp.where(same_block, ii > jj, True)
+        ok = tri & val_f[:, None] & val_t[None, :]
+        diff = pos_t[None, :] - pos_f[:, None]
+        d = diff + jnp.where(diff < 0, g, 0)
+        lens = 0.5 * g - jnp.abs(d.astype(jnp.float32) - 0.5 * g)
+        lr_ok = ok & (lens > sr_dist)
+        masked = jnp.where(lr_ok, mi, -jnp.inf)
+        return _tile_lr_topk(masked, block, block, topk)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_stream_merge(n_tiles: int, k_each: int, topk: int):
+    """Fold a chunk of per-tile top-k results into the running global
+    top-k carry, entirely on device."""
+    import jax
+    import jax.numpy as jnp
+
+    def merge(bv, bt, bx, vals, tids, idxs):
+        cv = jnp.concatenate([bv, vals.reshape(n_tiles * k_each)])
+        ct = jnp.concatenate([bt, tids.reshape(n_tiles * k_each)])
+        cx = jnp.concatenate([bx, idxs.reshape(n_tiles * k_each)])
+        nv, sel = jax.lax.top_k(cv, topk)
+        return nv, ct[sel], cx[sel]
+
+    return jax.jit(merge)
+
+
+def _fast_lr_topk_streaming(
+    state: "FastSweepState",
+    sr_dist: int,
+    topk: int,
+    precision_terms: int = 3,
+    merge_chunk: int = 32,
+):
+    """Slab-streaming fast sweep (single device): panel-ordered tiles fed
+    by the LRU slab cache, chunked device-side top-k folding, one pull."""
+    import jax.numpy as jnp
+
+    from ldweaver_tpu.parallel.slabs import panel_pair_order
+
+    ranked = state.ranked
+    B = state.block
+    nb = ranked.rank_codes.shape[1] // B
+    cache = state.slab_cache
+    panel = state.panel
+    k_each = min(topk, B * B)
+
+    carry = (
+        jnp.full((topk,), -jnp.inf, jnp.float32),
+        jnp.zeros((topk,), jnp.int32),
+        jnp.zeros((topk,), jnp.int32),
+    )
+    tile_meta: List[Tuple[int, int]] = []
+    pend_vals: List[object] = []
+    pend_idx: List[object] = []
+    pend_tid: List[int] = []
+
+    def flush():
+        nonlocal carry, pend_vals, pend_idx, pend_tid
+        if not pend_vals:
+            return
+        m = len(pend_vals)
+        merge = _build_stream_merge(m, k_each, topk)
+        vals = jnp.stack(pend_vals)
+        idxs = jnp.stack(pend_idx)
+        tids = jnp.asarray(np.repeat(np.asarray(pend_tid, np.int32), k_each))
+        carry = merge(*carry, vals, tids, idxs)
+        pend_vals, pend_idx, pend_tid = [], [], []
+
+    cur_panel = -1
+    for bi, bj in panel_pair_order(nb, panel):
+        p = bi // panel
+        if p != cur_panel:
+            cur_panel = p
+            cache.unpin()
+            cache.pin(range(p * panel, min((p + 1) * panel, nb)))
+        Rf = int(ranked.block_rmax[bi])
+        Rt = int(ranked.block_rmax[bj])
+        fn = _build_stream_tile(
+            B, state.nseq, Rf, Rt, precision_terms, k_each,
+            int(sr_dist), int(state.g),
+        )
+        cf = cache.get(bi)
+        ct = cache.get(bj)
+        vals, idx = fn(
+            cf, ct, state.r_dev, state.pos_dev, state.valid_dev,
+            jnp.asarray(np.int32(bi * B)), jnp.asarray(np.int32(bj * B)),
+            state.w32_dev, state.wparts_dev, jnp.asarray(state.neff),
+            jnp.asarray(bool(bi == bj)),
+        )
+        pend_vals.append(vals)
+        pend_idx.append(idx)
+        pend_tid.append(len(tile_meta))
+        tile_meta.append((bi, bj))
+        if len(pend_vals) >= merge_chunk:
+            flush()
+    flush()
+    cache.unpin()
+
+    mv = np.asarray(carry[0])
+    mt = np.asarray(carry[1]).astype(np.int64)
+    mx = np.asarray(carry[2]).astype(np.int64)
+    keep = np.isfinite(mv)
+    mv, mt, mx = mv[keep], mt[keep], mx[keep]
+    meta = np.asarray(tile_meta, np.int64).reshape(-1, 2)
+    bi = meta[mt, 0]
+    bj = meta[mt, 1]
+    ii = mx // B
+    jj = mx % B
+    pos2 = ranked.pos[bi * B + ii]
+    pos1 = ranked.pos[bj * B + jj]
     order = np.argsort(-mv, kind="stable")
     return pos1[order], pos2[order], mv[order]
 

@@ -1,0 +1,125 @@
+"""Device-slab LRU cache + cache-aware pair traversal for SNP tensors
+that exceed device HBM.
+
+The reference never faces this problem: its 10k x 10k blocks are sliced
+out of host RAM per block-pair (R/computePairwiseMI.R:238-257) and the
+BLAS runs in-place on the host.  On TPU the code tensor lives in HBM and
+a 50k-seq x 500k-SNP alignment (25 GB of rank codes) cannot be resident
+on a 16 GB v5e chip.  The fix is classic cache blocking over the
+upper-triangular block-pair sweep:
+
+  * rank-code slabs [block, nseq] are uploaded on demand and kept in an
+    LRU cache with a byte budget,
+  * the pair list is traversed in row PANELS: all pairs (i, j) with
+    i in [i0, i0+P) are visited before moving to the next panel, with the
+    P row slabs pinned for the panel's duration so each column slab is
+    uploaded exactly once per panel,
+  * total uploads drop from 2 per tile (naive) to ~nb + nb^2/(2P) for
+    nb x nb blocks - a ~P-fold cut in host->device traffic.
+
+Eviction drops our reference only; buffers consumed by still-queued
+computations stay alive until XLA retires them (JAX holds the reference).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Iterator, Optional, Set, Tuple
+
+import numpy as np
+
+
+class SlabCache:
+    """LRU cache of device-resident rank-code slabs.
+
+    Slabs are [block, nseq] uint8 arrays (the per-tile operand layout of
+    the rank-compacted MI kernel).  `get(bi)` uploads on miss; `pin`
+    protects a working set from eviction (panel rows)."""
+
+    def __init__(self, rank_codes: np.ndarray, block: int,
+                 max_slabs: Optional[int] = None):
+        self.rank_codes = rank_codes  # [nseq, nsnp_padded] host
+        self.block = block
+        self.nb = rank_codes.shape[1] // block
+        self.max_slabs = max_slabs  # None = unbounded (full residency)
+        self._cache: "OrderedDict[int, object]" = OrderedDict()
+        self._pinned: Set[int] = set()
+        self.uploads = 0
+        self.hits = 0
+
+    def _upload(self, bi: int):
+        import jax
+
+        sl = slice(bi * self.block, (bi + 1) * self.block)
+        host = np.ascontiguousarray(self.rank_codes[:, sl].T)
+        self.uploads += 1
+        return jax.device_put(host)
+
+    def get(self, bi: int):
+        if bi in self._cache:
+            self._cache.move_to_end(bi)
+            self.hits += 1
+            return self._cache[bi]
+        buf = self._upload(bi)
+        self._cache[bi] = buf
+        self._evict()
+        return buf
+
+    def _evict(self):
+        if self.max_slabs is None:
+            return
+        while len(self._cache) > self.max_slabs:
+            for key in self._cache:  # oldest-first
+                if key not in self._pinned:
+                    del self._cache[key]
+                    break
+            else:  # everything pinned: allow temporary overshoot
+                return
+
+    def pin(self, blocks) -> None:
+        self._pinned.update(int(b) for b in blocks)
+
+    def unpin(self, blocks=None) -> None:
+        if blocks is None:
+            self._pinned.clear()
+        else:
+            self._pinned.difference_update(int(b) for b in blocks)
+        self._evict()
+
+    def clear(self) -> None:
+        self._cache.clear()
+        self._pinned.clear()
+
+
+def panel_pair_order(nb: int, panel: int) -> Iterator[Tuple[int, int]]:
+    """Upper-triangular block pairs (i <= j) in row-panel order.
+
+    Visits the diagonal sub-triangle of each panel first, then sweeps the
+    trailing columns one at a time so a cache holding `panel + 1` slabs
+    (rows pinned) services every tile with one column upload each."""
+    for i0 in range(0, nb, panel):
+        i1 = min(i0 + panel, nb)
+        for i in range(i0, i1):
+            for j in range(i, i1):
+                yield i, j
+        for j in range(i1, nb):
+            for i in range(i0, i1):
+                yield i, j
+
+
+def plan_budget(nseq: int, block: int, nb: int,
+                budget_bytes: Optional[int]) -> Tuple[bool, Optional[int], int]:
+    """(streaming?, max_slabs, panel) for a given HBM byte budget.
+
+    Reserves ~40% of the budget for tile workspace (contingency matmuls,
+    top-k buffers); the rest holds slabs."""
+    if budget_bytes is None:
+        return False, None, nb
+    slab_bytes = nseq * block  # uint8
+    total = slab_bytes * nb
+    usable = int(budget_bytes * 0.6)
+    if total <= usable:
+        return False, None, nb
+    max_slabs = max(3, usable // slab_bytes)
+    panel = max(1, max_slabs - 1)
+    return True, max_slabs, panel

@@ -1,0 +1,139 @@
+"""Slab-streaming fast sweep: results must match the resident-tensor
+sweep exactly, while host->device uploads stay ~panel-fold below the
+naive two-per-tile count (parallel/slabs.py)."""
+
+import numpy as np
+import pytest
+
+from ldweaver_tpu.core.snp_tensor import SnpData
+from ldweaver_tpu.parallel.fast_sweep import fast_lr_topk, prepare_fast_sweep
+from ldweaver_tpu.parallel.slabs import SlabCache, panel_pair_order, plan_budget
+
+
+def _synth(nsnp=1024, nseq=64, g=200_000, seed=3):
+    rng = np.random.default_rng(seed)
+    major = rng.integers(0, 4, size=nsnp)
+    minor = (major + rng.integers(1, 4, size=nsnp)) % 4
+    maf = rng.uniform(0.05, 0.5, size=nsnp)
+    codes = np.where(
+        rng.random((nseq, nsnp)) < maf[None, :], minor[None, :], major[None, :]
+    ).astype(np.uint8)
+    ncells = rng.random((nseq, nsnp)) < 0.01
+    codes[ncells] = 4
+    pos = np.sort(rng.choice(np.arange(1, g + 1), nsnp, replace=False)).astype(
+        np.int64
+    )
+    acgtn = np.zeros((5, nsnp), np.int64)
+    for k in range(5):
+        acgtn[k] = (codes == k).sum(axis=0)
+    uqe = (acgtn > 0).astype(np.uint8).T
+    r = uqe.sum(axis=1).astype(np.int32)
+    w = rng.uniform(0.1, 0.6, size=nseq)
+    return (
+        SnpData(
+            codes=codes,
+            pos=pos,
+            g=g,
+            seq_names=[str(i) for i in range(nseq)],
+            acgtn_table=acgtn,
+            uqe=uqe,
+            r=r,
+        ),
+        w,
+    )
+
+
+def test_panel_pair_order_covers_upper_triangle():
+    nb = 9
+    for panel in (1, 2, 4, 9, 16):
+        pairs = list(panel_pair_order(nb, panel))
+        assert sorted(pairs) == [(i, j) for i in range(nb) for j in range(i, nb)]
+        assert len(set(pairs)) == nb * (nb + 1) // 2
+
+
+def test_plan_budget_thresholds():
+    # 64 seqs x 128-block x 8 blocks = 64 KiB total
+    stream, max_slabs, panel = plan_budget(64, 128, 8, None)
+    assert not stream
+    stream, max_slabs, panel = plan_budget(64, 128, 8, 10 ** 9)
+    assert not stream  # fits comfortably
+    stream, max_slabs, panel = plan_budget(64, 128, 8, 64 * 128 * 5)
+    assert stream and max_slabs == 3 and panel == 2
+
+
+def test_slab_cache_lru_and_pinning():
+    rng = np.random.default_rng(0)
+    rank_codes = rng.integers(0, 3, size=(16, 8 * 32)).astype(np.uint8)
+    cache = SlabCache(rank_codes, block=32, max_slabs=3)
+    a = cache.get(0)
+    np.testing.assert_array_equal(
+        np.asarray(a), rank_codes[:, 0:32].T
+    )
+    cache.get(1)
+    cache.get(2)
+    assert cache.uploads == 3
+    cache.get(0)  # hit, becomes MRU
+    assert cache.hits == 1
+    cache.get(3)  # evicts 1 (LRU)
+    cache.get(1)  # miss again
+    assert cache.uploads == 5
+    # pinning protects the working set
+    cache.pin([0, 1])
+    cache.get(0)
+    cache.get(1)
+    u0 = cache.uploads
+    assert cache.uploads == u0
+    cache.get(4)
+    cache.get(5)  # evictions must skip pinned 0/1
+    cache.get(0)
+    cache.get(1)
+    assert cache.uploads == u0 + 2  # only 4 and 5 were uploaded
+
+
+def test_streaming_matches_resident_sweep():
+    sd, w = _synth()
+    block = 128
+    res = fast_lr_topk(sd, w, block=block, sr_dist=5000, topk=256)
+    state = prepare_fast_sweep(
+        sd, w, block=block, hbm_budget_bytes=64 * 128 * 6
+    )
+    assert state.streaming and state.slab_cache is not None
+    stream = fast_lr_topk(state=state, sr_dist=5000, topk=256)
+
+    def canon(t):
+        p1, p2, mi = t
+        lo = np.minimum(p1, p2)
+        hi = np.maximum(p1, p2)
+        order = np.lexsort((hi, lo))
+        return lo[order], hi[order], mi[order]
+
+    r1, r2, rmi = canon(res)
+    s1, s2, smi = canon(stream)
+    np.testing.assert_array_equal(r1, s1)
+    np.testing.assert_array_equal(r2, s2)
+    np.testing.assert_allclose(rmi, smi, rtol=0, atol=0)
+
+    # upload accounting: naive is 2 uploads per tile = nb*(nb+1); the
+    # panel traversal must stay far below that and above nb (each slab
+    # must be uploaded at least once)
+    nb = state.ranked.rank_codes.shape[1] // block
+    cache = state.slab_cache
+    naive = nb * (nb + 1)
+    panel = state.panel
+    bound = nb + (nb * nb) // max(panel, 1) + nb  # rows + columns-per-panel
+    assert nb <= cache.uploads <= min(bound, naive - 1), (
+        cache.uploads,
+        bound,
+        naive,
+    )
+
+
+def test_streaming_second_sweep_reuses_compilation():
+    sd, w = _synth(nsnp=512, nseq=48)
+    state = prepare_fast_sweep(
+        sd, w, block=64, hbm_budget_bytes=48 * 64 * 6
+    )
+    a = fast_lr_topk(state=state, sr_dist=5000, topk=128)
+    b = fast_lr_topk(state=state, sr_dist=5000, topk=128)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[2], b[2])
