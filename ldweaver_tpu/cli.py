@@ -46,6 +46,13 @@ def build_parser():
     run.add_argument("--snpeff-jar", dest="snpeff_jar_path")
     run.add_argument("--backend", default="fast",
                      choices=["jax", "numpy", "pallas", "fast"])
+    run.add_argument("--device-budget-bytes", type=int, default=None,
+                     help="HBM cap for the fast sweep's slab working set; "
+                          "slabs stream through an LRU cache when the SNP "
+                          "tensor exceeds it")
+    run.add_argument("--pipeline-depth", type=int, default=4,
+                     help="tiles dispatched ahead of host extraction "
+                          "(fast backend)")
 
     lr = sub.add_parser("lr-analyse",
                         help="standalone long-range analysis "
@@ -96,6 +103,8 @@ def main(argv=None):
             tanglegram_break_segments=args.tanglegram_segments,
             write_gwesExplorer=not args.no_gwes_explorer,
             save_additional_outputs=args.save_additional_outputs,
+            device_budget_bytes=args.device_budget_bytes,
+            pipeline_depth=args.pipeline_depth,
         )
         ldweaver(
             dset=args.dset,

@@ -71,6 +71,15 @@ class LDWeaverConfig:
     # False, the exact count is computed instead (deterministic and exact;
     # it is also cheap on TPU).
     r_compat_lr_sampling: bool = True
+    # HBM cap for the fast sweep's device-resident slab working set.  None
+    # keeps every rank-code slab on device; set this below the chip's HBM
+    # (e.g. 12 GB on a 16 GB v5e) for alignments whose code tensor exceeds
+    # it - the sweep then streams slabs through an LRU cache in panel
+    # order (parallel/slabs.py).
+    device_budget_bytes: Optional[int] = None
+    # how many tiles the fast sweep dispatches ahead of host extraction
+    # (device compute overlaps the host work; 1 = fully synchronous)
+    pipeline_depth: int = 4
 
     def __post_init__(self):
         if self.snp_filt_method not in ("default", "relaxed"):

@@ -214,120 +214,247 @@ def _next_pow2(n: int, lo: int = 8) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
 
-def sweep_block_pair_fast_summary(
-    ranked,
-    paint_sorted: np.ndarray,
-    valid: np.ndarray,
-    hdw: np.ndarray,
-    neff: float,
-    g: int,
-    bi: int,
-    bj: int,
-    sr_dist: int,
-    lr_prob: float,
-    sr_links: List[LinkTable],
-    lr_rows_sink: Callable,
-    topk: int = 8192,
-) -> bool:
-    """Device-summary block pair: only O(K) LR candidates + the SR-capable
-    submatrix leave the device.  Returns False if the top-K saturated (the
-    caller must re-run with the full-tile path)."""
-    import jax.numpy as jnp
+class FastTileRunner:
+    """Fast-path tile executor with a device-slab cache and split
+    dispatch/finish so the pipeline can queue tiles ahead (JAX async
+    dispatch) and overlap device compute with host link extraction.
 
-    from ldweaver_tpu.parallel.fast_sweep import (
-        _build_rank_tile_summary,
-        _wparts,
-    )
+    Transfer modes per tile: 'full' pulls the whole MI tile; 'summary'
+    pulls only the on-device quantile/top-K/SR-submatrix reduction
+    (O(K + caps^2) bytes); 'auto' chooses 'summary' when the LR retention
+    probability is selective enough for the top-K to be safe."""
 
-    B = ranked.block
-    f_sl = slice(bi * B, (bi + 1) * B)
-    t_sl = slice(bj * B, (bj + 1) * B)
-    pos_f = ranked.pos[f_sl]
-    pos_t = ranked.pos[t_sl]
-    val_f = valid[f_sl]
-    val_t = valid[t_sl]
-    paint_f = paint_sorted[f_sl]
-    paint_t = paint_sorted[t_sl]
-    r_f = ranked.r[f_sl]
-    r_t = ranked.r[t_sl]
+    def __init__(
+        self,
+        ranked,
+        paint_sorted: np.ndarray,
+        valid: np.ndarray,
+        hdw: np.ndarray,
+        neff: float,
+        g: int,
+        sr_dist: int,
+        lr_retain_links: float,
+        lr_links_approx: Optional[float],
+        sr_links: List[list],
+        transfer: str = "auto",
+        topk: int = 8192,
+        max_slabs: Optional[int] = None,
+    ):
+        import jax.numpy as jnp
 
-    # SR-capable rows/cols from positions (host, cheap)
-    row_cnt = _circular_window_counts(pos_f, pos_t[val_t], g, sr_dist)
-    col_cnt = _circular_window_counts(pos_t, pos_f[val_f], g, sr_dist)
-    rows_sel = np.flatnonzero((row_cnt > 0) & val_f)
-    cols_sel = np.flatnonzero((col_cnt > 0) & val_t)
-    nrow_cap = _next_pow2(rows_sel.size)
-    ncol_cap = _next_pow2(cols_sel.size)
-    row_pad = np.zeros(nrow_cap, np.int32)
-    row_pad[: rows_sel.size] = rows_sel
-    col_pad = np.zeros(ncol_cap, np.int32)
-    col_pad[: cols_sel.size] = cols_sel
+        from ldweaver_tpu.parallel.fast_sweep import _wparts
+        from ldweaver_tpu.parallel.slabs import SlabCache
 
-    Rf = int(r_f.max())
-    Rt = int(r_t.max())
-    fn = _build_rank_tile_summary(
-        B, B, Rf, Rt, 3, topk, nrow_cap, ncol_cap
-    )
-    w32, wparts = _wparts(hdw)
-    codes_f = np.ascontiguousarray(ranked.rank_codes[:, f_sl].T)
-    codes_t = np.ascontiguousarray(ranked.rank_codes[:, t_sl].T)
-    thresh, n_above, n_row_max, vals, idx, sub = fn(
-        jnp.asarray(codes_f),
-        jnp.asarray(codes_t),
-        jnp.asarray(w32),
-        jnp.asarray(wparts),
-        jnp.asarray(r_f, jnp.float32),
-        jnp.asarray(r_t, jnp.float32),
-        jnp.asarray(np.float32(neff)),
-        jnp.asarray(pos_f, jnp.int32),
-        jnp.asarray(pos_t, jnp.int32),
-        jnp.asarray(val_f),
-        jnp.asarray(val_t),
-        jnp.asarray(bool(bi == bj)),
-        jnp.asarray(np.int32(g)),
-        jnp.asarray(np.float32(sr_dist)),
-        jnp.asarray(np.float32(lr_prob)),
-        jnp.asarray(row_pad),
-        jnp.asarray(col_pad),
-    )
-    n_above = int(n_above)
-    if n_above > vals.shape[0] or int(n_row_max) > 16:
-        return False  # saturated (globally or per-row): full-tile fallback
-    thresh = float(thresh)
-    vals = np.asarray(vals, np.float64)
-    idx = np.asarray(idx, np.int64)
-
-    # LR candidates above the on-device quantile threshold
-    if np.isfinite(thresh):
-        keep = np.isfinite(vals) & (vals >= thresh)
-        if keep.any():
-            ii = (idx[keep] // B).astype(np.int64)
-            jj = (idx[keep] % B).astype(np.int64)
-            _emit_pairs(
-                ii, jj, vals[keep], pos_f, pos_t, paint_f, paint_t, g,
-                sr_dist, lr_prob, sr_links, lr_rows_sink,
-                apply_lr_quantile=False, lr_thresh=thresh,
-            )
-
-    # SR pairs from the gathered submatrix
-    if rows_sel.size and cols_sel.size:
-        sub = np.asarray(sub, np.float64)[: rows_sel.size, : cols_sel.size]
-        pi = pos_f[rows_sel]
-        pj = pos_t[cols_sel]
-        lens = circular_len(
-            pj[None, :].astype(np.float64), pi[:, None].astype(np.float64), g
+        self.ranked = ranked
+        self.paint_sorted = paint_sorted
+        self.valid = valid
+        self.hdw = np.asarray(hdw, np.float64)
+        self.neff = neff
+        self.g = g
+        self.sr_dist = sr_dist
+        self.sr_links = sr_links
+        self.transfer = transfer
+        self.topk = topk
+        self.lr_prob = (
+            None
+            if lr_links_approx is None
+            else max(0.0, 1.0 - lr_retain_links / lr_links_approx)
         )
-        mask = lens <= sr_dist
-        if bi == bj:
-            mask &= rows_sel[:, None] > cols_sel[None, :]
-        ri, cj = np.nonzero(mask)
-        if ri.size:
-            _emit_pairs(
-                rows_sel[ri], cols_sel[cj], sub[ri, cj],
-                pos_f, pos_t, paint_f, paint_t, g, sr_dist,
-                None, sr_links, lr_rows_sink,
+        w32, wparts = _wparts(self.hdw)
+        self.w32_dev = jnp.asarray(w32)
+        self.wparts_dev = jnp.asarray(wparts)
+        self.neff_dev = jnp.asarray(np.float32(neff))
+        self.cache = SlabCache(ranked.rank_codes, ranked.block, max_slabs)
+
+    def _use_summary(self) -> bool:
+        B = self.ranked.block
+        return self.transfer == "summary" or (
+            self.transfer == "auto"
+            and self.lr_prob is not None
+            and self.lr_prob > 0.0
+            and (1.0 - self.lr_prob) * B < 48  # two-stage top-k row capacity
+            and B >= 1024
+        )
+
+    # -- dispatch: queue device work, do NOT block on results ------------
+    def dispatch(self, bi: int, bj: int) -> dict:
+        slab_f = self.cache.get(bi)
+        slab_t = self.cache.get(bj)
+        if self._use_summary():
+            return self._dispatch_summary(bi, bj, slab_f, slab_t)
+        return self._dispatch_full(bi, bj, slab_f, slab_t)
+
+    def _dispatch_summary(self, bi, bj, slab_f, slab_t) -> dict:
+        import jax.numpy as jnp
+
+        from ldweaver_tpu.parallel.fast_sweep import _build_rank_tile_summary
+
+        ranked = self.ranked
+        B = ranked.block
+        g = self.g
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        pos_f = ranked.pos[f_sl]
+        pos_t = ranked.pos[t_sl]
+        val_f = self.valid[f_sl]
+        val_t = self.valid[t_sl]
+        r_f = ranked.r[f_sl]
+        r_t = ranked.r[t_sl]
+
+        # SR-capable rows/cols from positions (host, cheap)
+        row_cnt = _circular_window_counts(pos_f, pos_t[val_t], g, self.sr_dist)
+        col_cnt = _circular_window_counts(pos_t, pos_f[val_f], g, self.sr_dist)
+        rows_sel = np.flatnonzero((row_cnt > 0) & val_f)
+        cols_sel = np.flatnonzero((col_cnt > 0) & val_t)
+        nrow_cap = _next_pow2(rows_sel.size)
+        ncol_cap = _next_pow2(cols_sel.size)
+        row_pad = np.zeros(nrow_cap, np.int32)
+        row_pad[: rows_sel.size] = rows_sel
+        col_pad = np.zeros(ncol_cap, np.int32)
+        col_pad[: cols_sel.size] = cols_sel
+
+        fn = _build_rank_tile_summary(
+            B, B, int(r_f.max()), int(r_t.max()), 3, self.topk,
+            nrow_cap, ncol_cap,
+        )
+        outs = fn(
+            slab_f,
+            slab_t,
+            self.w32_dev,
+            self.wparts_dev,
+            jnp.asarray(r_f, jnp.float32),
+            jnp.asarray(r_t, jnp.float32),
+            self.neff_dev,
+            jnp.asarray(pos_f, jnp.int32),
+            jnp.asarray(pos_t, jnp.int32),
+            jnp.asarray(val_f),
+            jnp.asarray(val_t),
+            jnp.asarray(bool(bi == bj)),
+            jnp.asarray(np.int32(g)),
+            jnp.asarray(np.float32(self.sr_dist)),
+            jnp.asarray(np.float32(self.lr_prob)),
+            jnp.asarray(row_pad),
+            jnp.asarray(col_pad),
+        )
+        return dict(
+            kind="summary", bi=bi, bj=bj, outs=outs,
+            rows_sel=rows_sel, cols_sel=cols_sel,
+        )
+
+    def _dispatch_full(self, bi, bj, slab_f, slab_t) -> dict:
+        import jax.numpy as jnp
+
+        from ldweaver_tpu.parallel.fast_sweep import _build_rank_tile
+
+        ranked = self.ranked
+        B = ranked.block
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        r_f = ranked.r[f_sl]
+        r_t = ranked.r[t_sl]
+        fn = _build_rank_tile(B, B, int(r_f.max()), int(r_t.max()), 3)
+        out = fn(
+            slab_f, slab_t, self.w32_dev, self.wparts_dev,
+            jnp.asarray(r_f, jnp.float32), jnp.asarray(r_t, jnp.float32),
+            self.neff_dev,
+        )
+        return dict(kind="full", bi=bi, bj=bj, out=out)
+
+    # -- finish: pull + host extraction ----------------------------------
+    def finish(self, pending: dict, lr_rows_sink: Callable) -> None:
+        if pending["kind"] == "summary":
+            if self._finish_summary(pending, lr_rows_sink):
+                return
+            # saturated top-K: exact full-tile fallback (synchronous)
+            bi, bj = pending["bi"], pending["bj"]
+            pending = self._dispatch_full(
+                bi, bj, self.cache.get(bi), self.cache.get(bj)
             )
-    return True
+        self._finish_full(pending, lr_rows_sink)
+
+    def _finish_summary(self, pending: dict, lr_rows_sink: Callable) -> bool:
+        ranked = self.ranked
+        B = ranked.block
+        g = self.g
+        bi, bj = pending["bi"], pending["bj"]
+        rows_sel, cols_sel = pending["rows_sel"], pending["cols_sel"]
+        thresh, n_above, n_row_max, vals, idx, sub = pending["outs"]
+        n_above = int(n_above)
+        if n_above > vals.shape[0] or int(n_row_max) > 16:
+            return False  # saturated (globally or per-row)
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        pos_f = ranked.pos[f_sl]
+        pos_t = ranked.pos[t_sl]
+        paint_f = self.paint_sorted[f_sl]
+        paint_t = self.paint_sorted[t_sl]
+        thresh = float(thresh)
+        vals = np.asarray(vals, np.float64)
+        idx = np.asarray(idx, np.int64)
+
+        # LR candidates above the on-device quantile threshold
+        if np.isfinite(thresh):
+            keep = np.isfinite(vals) & (vals >= thresh)
+            if keep.any():
+                ii = (idx[keep] // B).astype(np.int64)
+                jj = (idx[keep] % B).astype(np.int64)
+                _emit_pairs(
+                    ii, jj, vals[keep], pos_f, pos_t, paint_f, paint_t, g,
+                    self.sr_dist, self.lr_prob, self.sr_links, lr_rows_sink,
+                    apply_lr_quantile=False, lr_thresh=thresh,
+                )
+
+        # SR pairs from the gathered submatrix
+        if rows_sel.size and cols_sel.size:
+            sub = np.asarray(sub, np.float64)[: rows_sel.size, : cols_sel.size]
+            pi = pos_f[rows_sel]
+            pj = pos_t[cols_sel]
+            lens = circular_len(
+                pj[None, :].astype(np.float64),
+                pi[:, None].astype(np.float64),
+                g,
+            )
+            mask = lens <= self.sr_dist
+            if bi == bj:
+                mask &= rows_sel[:, None] > cols_sel[None, :]
+            ri, cj = np.nonzero(mask)
+            if ri.size:
+                _emit_pairs(
+                    rows_sel[ri], cols_sel[cj], sub[ri, cj],
+                    pos_f, pos_t, paint_f, paint_t, g, self.sr_dist,
+                    None, self.sr_links, lr_rows_sink,
+                )
+        return True
+
+    def _finish_full(self, pending: dict, lr_rows_sink: Callable) -> None:
+        ranked = self.ranked
+        B = ranked.block
+        bi, bj = pending["bi"], pending["bj"]
+        mi = np.asarray(pending["out"], np.float64)
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        pos_f = ranked.pos[f_sl]
+        pos_t = ranked.pos[t_sl]
+        paint_f = self.paint_sorted[f_sl]
+        paint_t = self.paint_sorted[t_sl]
+        val_f = self.valid[f_sl]
+        val_t = self.valid[t_sl]
+
+        if bi == bj:
+            ii, jj = np.tril_indices(B, -1)
+            ii = ii.astype(np.int32)
+            jj = jj.astype(np.int32)
+        else:
+            ii = np.repeat(np.arange(B, dtype=np.int32), B)
+            jj = np.tile(np.arange(B, dtype=np.int32), B)
+        ok = val_f[ii] & val_t[jj]
+        ii, jj = ii[ok], jj[ok]
+        if ii.size == 0:
+            return
+        _emit_pairs(
+            ii, jj, mi[ii, jj], pos_f, pos_t, paint_f, paint_t, self.g,
+            self.sr_dist, self.lr_prob, self.sr_links, lr_rows_sink,
+        )
 
 
 def sweep_block_pair_fast(
@@ -346,67 +473,16 @@ def sweep_block_pair_fast(
     lr_rows_sink: Callable,
     transfer: str = "auto",
 ):
-    """Fast-path block pair: rank-compacted tile + host extraction.
+    """Fast-path block pair, synchronous (dispatch + finish back to back).
 
     Unlike the compat path, off-diagonal block pairs KEEP their in-block
     diagonal pairs (the reference drops them - a quirk, not a feature).
-
-    transfer: 'full' always pulls the whole MI tile; 'summary' uses the
-    on-device quantile/top-K/SR-submatrix reduction; 'auto' chooses
-    'summary' when the retention probability is selective enough for the
-    top-K to be safe."""
-    from ldweaver_tpu.parallel.fast_sweep import mi_tile_rank
-
-    B = ranked.block
-    lr_prob = (
-        None
-        if lr_links_approx is None
-        else max(0.0, 1.0 - lr_retain_links / lr_links_approx)
+    The pipeline uses FastTileRunner directly to queue tiles ahead."""
+    runner = FastTileRunner(
+        ranked, paint_sorted, valid, hdw, neff, g, sr_dist,
+        lr_retain_links, lr_links_approx, sr_links, transfer=transfer,
     )
-    use_summary = transfer == "summary" or (
-        transfer == "auto"
-        and lr_prob is not None
-        and lr_prob > 0.0
-        and (1.0 - lr_prob) * B < 48  # two-stage top-k row capacity
-        and B >= 1024
-    )
-    if use_summary:
-        if sweep_block_pair_fast_summary(
-            ranked, paint_sorted, valid, hdw, neff, g, bi, bj, sr_dist,
-            lr_prob, sr_links, lr_rows_sink,
-        ):
-            return
-        # saturated top-K: fall through to the full-tile path
-    f_sl = slice(bi * B, (bi + 1) * B)
-    t_sl = slice(bj * B, (bj + 1) * B)
-    codes_f = np.ascontiguousarray(ranked.rank_codes[:, f_sl].T)
-    codes_t = np.ascontiguousarray(ranked.rank_codes[:, t_sl].T)
-    r_f = ranked.r[f_sl]
-    r_t = ranked.r[t_sl]
-    mi = mi_tile_rank(codes_f, codes_t, hdw, r_f, r_t, neff)
-
-    pos_f = ranked.pos[f_sl]
-    pos_t = ranked.pos[t_sl]
-    paint_f = paint_sorted[f_sl]
-    paint_t = paint_sorted[t_sl]
-    val_f = valid[f_sl]
-    val_t = valid[t_sl]
-
-    if bi == bj:
-        ii, jj = np.tril_indices(B, -1)
-        ii = ii.astype(np.int32)
-        jj = jj.astype(np.int32)
-    else:
-        ii = np.repeat(np.arange(B, dtype=np.int32), B)
-        jj = np.tile(np.arange(B, dtype=np.int32), B)
-    ok = val_f[ii] & val_t[jj]
-    ii, jj = ii[ok], jj[ok]
-    if ii.size == 0:
-        return
-    _emit_pairs(
-        ii, jj, mi[ii, jj], pos_f, pos_t, paint_f, paint_t, g, sr_dist,
-        lr_prob, sr_links, lr_rows_sink,
-    )
+    runner.finish(runner.dispatch(bi, bj), lr_rows_sink)
 
 
 class _BlockCheckpoint:
@@ -494,11 +570,17 @@ def perform_mi_computation(
     r_compat_sampling: bool = True,
     verbose: bool = True,
     checkpoint_dir: Optional[str] = None,
+    device_budget_bytes: Optional[int] = None,
+    pipeline_depth: int = 4,
 ):
     """Full MI computation + background model + ARACNE + TSV outputs.
 
     Returns the reduced short-range link table (SrLinks with ARACNE column),
     like the reference returns sr_links_red (R/computePairwiseMI.R:143).
+
+    device_budget_bytes bounds the fast path's device-resident slab
+    working set (HBM cap for >HBM SNP tensors); pipeline_depth is how
+    many tiles are dispatched ahead of host extraction (fast path only).
     """
     t000 = time.time()
     max_blk_sz = round_blk_sz(max_blk_sz)  # :69
@@ -568,8 +650,16 @@ def perform_mi_computation(
     from ldweaver_tpu.utils.profiling import maybe_trace
 
     if backend == "fast":
-        # rank-compacted, r-stratified fast path (see parallel/fast_sweep)
+        # rank-compacted, r-stratified fast path (see parallel/fast_sweep).
+        # Tiles are dispatched `pipeline_depth` ahead of extraction (JAX
+        # async dispatch) so host link extraction overlaps device compute,
+        # fed from a device-slab LRU cache (one upload per slab instead of
+        # two per tile; bounded working set when device_budget_bytes is
+        # set - parallel/slabs.py).
+        from collections import deque
+
         from ldweaver_tpu.parallel.fast_sweep import stratify
+        from ldweaver_tpu.parallel.slabs import panel_pair_order, plan_budget
 
         blk = min(max_blk_sz, 1 << int(np.ceil(np.log2(max(snp_data.nsnp, 2)))))
         ranked = stratify(
@@ -584,26 +674,48 @@ def perform_mi_computation(
         valid = np.arange(ranked.pos.size) < snp_data.nsnp
         nb = ranked.rank_codes.shape[1] // ranked.block
         hdw64 = np.asarray(hdw, dtype=np.float64)
+        _, max_slabs, panel = plan_budget(
+            snp_data.nseq, ranked.block, nb, device_budget_bytes
+        )
+        runner = FastTileRunner(
+            ranked, paint_sorted, valid, hdw64, neff, snp_data.g, sr_dist,
+            lr_retain_links,
+            None if perform_sr_analysis_only else lr_links_approx,
+            sr_links, max_slabs=max_slabs,
+        )
         k = 0
         npairs_total = nb * (nb + 1) // 2
-        for bi in range(nb):
-            for bj in range(bi, nb):
-                t0 = time.time()
-                run_block(
-                    f"fast_{bi}_{bj}",
-                    lambda sink, bi=bi, bj=bj: sweep_block_pair_fast(
-                        ranked, paint_sorted, valid, hdw64, neff,
-                        snp_data.g, bi, bj, sr_dist, lr_retain_links,
-                        None if perform_sr_analysis_only else lr_links_approx,
-                        sr_links, sink,
-                    ),
+        queue: deque = deque()
+
+        def finish_one():
+            nonlocal k
+            key, pending, t0 = queue.popleft()
+            run_block(key, lambda sink: runner.finish(pending, sink))
+            k += 1
+            if verbose:
+                print(
+                    f"Block {k} of {npairs_total} ... "
+                    f"done in {time.time() - t0:.2f} s"
                 )
+
+        cur_panel = -1
+        for bi, bj in panel_pair_order(nb, panel):
+            p = bi // panel
+            if p != cur_panel:
+                cur_panel = p
+                runner.cache.unpin()
+                runner.cache.pin(range(p * panel, min((p + 1) * panel, nb)))
+            key = f"fast_{bi}_{bj}"
+            if chkpt is not None and chkpt.done(key):
+                run_block(key, lambda sink: None)  # replays the checkpoint
                 k += 1
-                if verbose:
-                    print(
-                        f"Block {k} of {npairs_total} ... "
-                        f"done in {time.time() - t0:.2f} s"
-                    )
+                continue
+            queue.append((key, runner.dispatch(bi, bj), time.time()))
+            if len(queue) >= pipeline_depth:
+                finish_one()
+        while queue:
+            finish_one()
+        runner.cache.unpin()
     else:
         for bi in range(blocks.shape[0]):
             t0 = time.time()

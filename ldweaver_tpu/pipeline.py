@@ -312,6 +312,8 @@ def ldweaver(
                 backend=backend,
                 r_compat_sampling=cfg.r_compat_lr_sampling,
                 checkpoint_dir=os.path.join(dset, "mi_chkpt"),
+                device_budget_bytes=cfg.device_budget_bytes,
+                pipeline_depth=cfg.pipeline_depth,
             )
             sr_df = pd.DataFrame(
                 dict(

@@ -1,0 +1,76 @@
+"""Pipelined fast sweep inside perform_mi_computation: queueing tiles
+ahead of extraction and bounding the device slab working set must not
+change any output (links, srp, TSV bytes)."""
+
+import numpy as np
+
+from ldweaver_tpu.core.cds import CdsVar, Clusters
+from ldweaver_tpu.core.sweep import perform_mi_computation
+
+
+def _cds_var(sd, nclust=2, seed=0):
+    rng = np.random.default_rng(seed)
+    paint = rng.integers(1, nclust + 1, size=sd.nsnp).astype(np.int64)
+    return CdsVar(
+        var_estimate=np.zeros(1), cds_start=np.zeros(1, np.int64),
+        cds_end=np.zeros(1, np.int64),
+        clusts=Clusters(np.array([1]), 0.0), paint=paint,
+        ref=np.array(["A"] * sd.nsnp), alt=np.array([""] * sd.nsnp),
+        allele_table=sd.acgtn_table, nclust=nclust,
+    )
+
+
+def test_pipelined_budgeted_fast_matches_sync(toy_snp_data, toy_hdw, tmp_path):
+    sd = toy_snp_data
+    cds_var = _cds_var(sd)
+
+    def run(tag, **kw):
+        lr = str(tmp_path / f"lr_{tag}.tsv")
+        sr = str(tmp_path / f"sr_{tag}.tsv")
+        links = perform_mi_computation(
+            sd, toy_hdw, cds_var, lr_save_path=lr, sr_save_path=sr,
+            plt_folder=None, sr_dist=2000, srp_cutoff=3.0,
+            backend="fast", max_blk_sz=1000, verbose=False, **kw,
+        )
+        return links, open(sr).read(), sorted(open(lr).read().splitlines())
+
+    base, sr_base, lr_base = run("sync", pipeline_depth=1)
+    deep, sr_deep, lr_deep = run("deep", pipeline_depth=7)
+    assert sr_deep == sr_base
+    assert lr_deep == lr_base
+
+    # tiny budget: slabs stream through the LRU cache in panel order; the
+    # LR row ORDER may change (different tile traversal) but the link SETS
+    # and the final sr table must be identical
+    budget = sd.nseq * 256 * 6  # few-slab working set
+    slim, sr_slim, lr_slim = run(
+        "slim", pipeline_depth=3, device_budget_bytes=budget
+    )
+    assert sr_slim == sr_base
+    assert lr_slim == lr_base
+    assert np.array_equal(slim.pos1, base.pos1)
+    assert np.array_equal(slim.srp_max, base.srp_max)
+
+
+def test_pipelined_checkpoint_resume_mid_queue(toy_snp_data, toy_hdw, tmp_path):
+    """Checkpoints written by a pipelined run replay correctly on rerun."""
+    sd = toy_snp_data
+    cds_var = _cds_var(sd, nclust=1, seed=1)
+    chk = str(tmp_path / "chk")
+
+    def run(tag, chkpt):
+        lr = str(tmp_path / f"lr_{tag}.tsv")
+        sr = str(tmp_path / f"sr_{tag}.tsv")
+        links = perform_mi_computation(
+            sd, toy_hdw, cds_var, lr_save_path=lr, sr_save_path=sr,
+            plt_folder=None, sr_dist=2000, srp_cutoff=3.0,
+            backend="fast", max_blk_sz=1000, verbose=False,
+            checkpoint_dir=chkpt, pipeline_depth=5,
+        )
+        return links, open(lr).read()
+
+    a, lr_a = run("a", chk)
+    b, lr_b = run("b", chk)  # pure replay
+    assert lr_a == lr_b
+    assert np.array_equal(a.pos1, b.pos1)
+    assert np.array_equal(a.srp_max, b.srp_max)
