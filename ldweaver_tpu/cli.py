@@ -53,6 +53,9 @@ def build_parser():
     run.add_argument("--pipeline-depth", type=int, default=4,
                      help="tiles dispatched ahead of host extraction "
                           "(fast backend)")
+    run.add_argument("--n-devices", type=int, default=None,
+                     help="devices to round-robin fast-path tiles over "
+                          "(default: all local devices)")
 
     lr = sub.add_parser("lr-analyse",
                         help="standalone long-range analysis "
@@ -105,6 +108,7 @@ def main(argv=None):
             save_additional_outputs=args.save_additional_outputs,
             device_budget_bytes=args.device_budget_bytes,
             pipeline_depth=args.pipeline_depth,
+            n_devices=args.n_devices,
         )
         ldweaver(
             dset=args.dset,

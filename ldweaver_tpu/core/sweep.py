@@ -239,8 +239,9 @@ class FastTileRunner:
         transfer: str = "auto",
         topk: int = 8192,
         max_slabs: Optional[int] = None,
+        devices=None,
     ):
-        import jax.numpy as jnp
+        import jax
 
         from ldweaver_tpu.parallel.fast_sweep import _wparts
         from ldweaver_tpu.parallel.slabs import SlabCache
@@ -260,11 +261,27 @@ class FastTileRunner:
             if lr_links_approx is None
             else max(0.0, 1.0 - lr_retain_links / lr_links_approx)
         )
+        # Multi-device: tiles round-robin over `devices` (pair-space data
+        # parallelism - the TPU-native distribution axis per SURVEY.md
+        # section 2.4); the SNP slabs are cached per device, small per-tile
+        # operands travel with each dispatch.  Results are device-invariant,
+        # so the assignment only affects throughput, never output.
+        self.devices = list(devices) if devices else [jax.devices()[0]]
         w32, wparts = _wparts(self.hdw)
-        self.w32_dev = jnp.asarray(w32)
-        self.wparts_dev = jnp.asarray(wparts)
-        self.neff_dev = jnp.asarray(np.float32(neff))
-        self.cache = SlabCache(ranked.rank_codes, ranked.block, max_slabs)
+        self._consts = [
+            (
+                jax.device_put(w32, d),
+                jax.device_put(wparts, d),
+                jax.device_put(np.float32(neff), d),
+            )
+            for d in self.devices
+        ]
+        self.caches = [
+            SlabCache(ranked.rank_codes, ranked.block, max_slabs, device=d)
+            for d in self.devices
+        ]
+        self.cache = self.caches[0]  # single-device alias (tests, fallback)
+        self._rr = 0  # round-robin cursor
 
     def _use_summary(self) -> bool:
         B = self.ranked.block
@@ -276,17 +293,27 @@ class FastTileRunner:
             and B >= 1024
         )
 
+    def pin_panel(self, rows) -> None:
+        rows = list(rows)
+        for c in self.caches:
+            c.unpin()
+            c.pin(rows)
+
+    def unpin_all(self) -> None:
+        for c in self.caches:
+            c.unpin()
+
     # -- dispatch: queue device work, do NOT block on results ------------
     def dispatch(self, bi: int, bj: int) -> dict:
-        slab_f = self.cache.get(bi)
-        slab_t = self.cache.get(bj)
+        di = self._rr % len(self.devices)
+        self._rr += 1
+        slab_f = self.caches[di].get(bi)
+        slab_t = self.caches[di].get(bj)
         if self._use_summary():
-            return self._dispatch_summary(bi, bj, slab_f, slab_t)
-        return self._dispatch_full(bi, bj, slab_f, slab_t)
+            return self._dispatch_summary(bi, bj, slab_f, slab_t, di)
+        return self._dispatch_full(bi, bj, slab_f, slab_t, di)
 
-    def _dispatch_summary(self, bi, bj, slab_f, slab_t) -> dict:
-        import jax.numpy as jnp
-
+    def _dispatch_summary(self, bi, bj, slab_f, slab_t, di=0) -> dict:
         from ldweaver_tpu.parallel.fast_sweep import _build_rank_tile_summary
 
         ranked = self.ranked
@@ -317,33 +344,34 @@ class FastTileRunner:
             B, B, int(r_f.max()), int(r_t.max()), 3, self.topk,
             nrow_cap, ncol_cap,
         )
+        w32_d, wparts_d, neff_d = self._consts[di]
+        # small per-tile operands stay as numpy: jit transfers them to the
+        # committed device of the slab/const operands
         outs = fn(
             slab_f,
             slab_t,
-            self.w32_dev,
-            self.wparts_dev,
-            jnp.asarray(r_f, jnp.float32),
-            jnp.asarray(r_t, jnp.float32),
-            self.neff_dev,
-            jnp.asarray(pos_f, jnp.int32),
-            jnp.asarray(pos_t, jnp.int32),
-            jnp.asarray(val_f),
-            jnp.asarray(val_t),
-            jnp.asarray(bool(bi == bj)),
-            jnp.asarray(np.int32(g)),
-            jnp.asarray(np.float32(self.sr_dist)),
-            jnp.asarray(np.float32(self.lr_prob)),
-            jnp.asarray(row_pad),
-            jnp.asarray(col_pad),
+            w32_d,
+            wparts_d,
+            np.asarray(r_f, np.float32),
+            np.asarray(r_t, np.float32),
+            neff_d,
+            np.asarray(pos_f, np.int32),
+            np.asarray(pos_t, np.int32),
+            np.asarray(val_f),
+            np.asarray(val_t),
+            bool(bi == bj),
+            np.int32(g),
+            np.float32(self.sr_dist),
+            np.float32(self.lr_prob),
+            row_pad,
+            col_pad,
         )
         return dict(
             kind="summary", bi=bi, bj=bj, outs=outs,
-            rows_sel=rows_sel, cols_sel=cols_sel,
+            rows_sel=rows_sel, cols_sel=cols_sel, di=di,
         )
 
-    def _dispatch_full(self, bi, bj, slab_f, slab_t) -> dict:
-        import jax.numpy as jnp
-
+    def _dispatch_full(self, bi, bj, slab_f, slab_t, di=0) -> dict:
         from ldweaver_tpu.parallel.fast_sweep import _build_rank_tile
 
         ranked = self.ranked
@@ -353,12 +381,13 @@ class FastTileRunner:
         r_f = ranked.r[f_sl]
         r_t = ranked.r[t_sl]
         fn = _build_rank_tile(B, B, int(r_f.max()), int(r_t.max()), 3)
+        w32_d, wparts_d, neff_d = self._consts[di]
         out = fn(
-            slab_f, slab_t, self.w32_dev, self.wparts_dev,
-            jnp.asarray(r_f, jnp.float32), jnp.asarray(r_t, jnp.float32),
-            self.neff_dev,
+            slab_f, slab_t, w32_d, wparts_d,
+            np.asarray(r_f, np.float32), np.asarray(r_t, np.float32),
+            neff_d,
         )
-        return dict(kind="full", bi=bi, bj=bj, out=out)
+        return dict(kind="full", bi=bi, bj=bj, out=out, di=di)
 
     # -- finish: pull + host extraction ----------------------------------
     def finish(self, pending: dict, lr_rows_sink: Callable) -> None:
@@ -367,8 +396,9 @@ class FastTileRunner:
                 return
             # saturated top-K: exact full-tile fallback (synchronous)
             bi, bj = pending["bi"], pending["bj"]
+            di = pending.get("di", 0)
             pending = self._dispatch_full(
-                bi, bj, self.cache.get(bi), self.cache.get(bj)
+                bi, bj, self.caches[di].get(bi), self.caches[di].get(bj), di
             )
         self._finish_full(pending, lr_rows_sink)
 
@@ -572,6 +602,7 @@ def perform_mi_computation(
     checkpoint_dir: Optional[str] = None,
     device_budget_bytes: Optional[int] = None,
     pipeline_depth: int = 4,
+    n_devices: Optional[int] = None,
 ):
     """Full MI computation + background model + ARACNE + TSV outputs.
 
@@ -580,7 +611,9 @@ def perform_mi_computation(
 
     device_budget_bytes bounds the fast path's device-resident slab
     working set (HBM cap for >HBM SNP tensors); pipeline_depth is how
-    many tiles are dispatched ahead of host extraction (fast path only).
+    many tiles are dispatched ahead of host extraction PER DEVICE;
+    n_devices round-robins fast-path tiles over that many local devices
+    (None = all local devices; outputs are device-count invariant).
     """
     t000 = time.time()
     max_blk_sz = round_blk_sz(max_blk_sz)  # :69
@@ -677,12 +710,16 @@ def perform_mi_computation(
         _, max_slabs, panel = plan_budget(
             snp_data.nseq, ranked.block, nb, device_budget_bytes
         )
+        import jax
+
+        devices = jax.devices()[: (n_devices or None)]
         runner = FastTileRunner(
             ranked, paint_sorted, valid, hdw64, neff, snp_data.g, sr_dist,
             lr_retain_links,
             None if perform_sr_analysis_only else lr_links_approx,
-            sr_links, max_slabs=max_slabs,
+            sr_links, max_slabs=max_slabs, devices=devices,
         )
+        depth = max(1, pipeline_depth) * len(runner.devices)
         k = 0
         npairs_total = nb * (nb + 1) // 2
         queue: deque = deque()
@@ -703,19 +740,18 @@ def perform_mi_computation(
             p = bi // panel
             if p != cur_panel:
                 cur_panel = p
-                runner.cache.unpin()
-                runner.cache.pin(range(p * panel, min((p + 1) * panel, nb)))
+                runner.pin_panel(range(p * panel, min((p + 1) * panel, nb)))
             key = f"fast_{bi}_{bj}"
             if chkpt is not None and chkpt.done(key):
                 run_block(key, lambda sink: None)  # replays the checkpoint
                 k += 1
                 continue
             queue.append((key, runner.dispatch(bi, bj), time.time()))
-            if len(queue) >= pipeline_depth:
+            if len(queue) >= depth:
                 finish_one()
         while queue:
             finish_one()
-        runner.cache.unpin()
+        runner.unpin_all()
     else:
         for bi in range(blocks.shape[0]):
             t0 = time.time()

@@ -37,11 +37,12 @@ class SlabCache:
     protects a working set from eviction (panel rows)."""
 
     def __init__(self, rank_codes: np.ndarray, block: int,
-                 max_slabs: Optional[int] = None):
+                 max_slabs: Optional[int] = None, device=None):
         self.rank_codes = rank_codes  # [nseq, nsnp_padded] host
         self.block = block
         self.nb = rank_codes.shape[1] // block
         self.max_slabs = max_slabs  # None = unbounded (full residency)
+        self.device = device  # None = default device
         self._cache: "OrderedDict[int, object]" = OrderedDict()
         self._pinned: Set[int] = set()
         self.uploads = 0
@@ -53,7 +54,7 @@ class SlabCache:
         sl = slice(bi * self.block, (bi + 1) * self.block)
         host = np.ascontiguousarray(self.rank_codes[:, sl].T)
         self.uploads += 1
-        return jax.device_put(host)
+        return jax.device_put(host, self.device)
 
     def get(self, bi: int):
         if bi in self._cache:

@@ -314,6 +314,7 @@ def ldweaver(
                 checkpoint_dir=os.path.join(dset, "mi_chkpt"),
                 device_budget_bytes=cfg.device_budget_bytes,
                 pipeline_depth=cfg.pipeline_depth,
+                n_devices=cfg.n_devices,
             )
             sr_df = pd.DataFrame(
                 dict(

@@ -52,6 +52,32 @@ def test_pipelined_budgeted_fast_matches_sync(toy_snp_data, toy_hdw, tmp_path):
     assert np.array_equal(slim.srp_max, base.srp_max)
 
 
+def test_multi_device_round_robin_matches_single(toy_snp_data, toy_hdw, tmp_path):
+    """Round-robining fast-path tiles over the 8-device virtual CPU mesh
+    must produce byte-identical outputs to a single-device run (the
+    assignment is pure data parallelism over the pair space)."""
+    sd = toy_snp_data
+    cds_var = _cds_var(sd, seed=3)
+
+    def run(tag, nd):
+        lr = str(tmp_path / f"lr_{tag}.tsv")
+        sr = str(tmp_path / f"sr_{tag}.tsv")
+        links = perform_mi_computation(
+            sd, toy_hdw, cds_var, lr_save_path=lr, sr_save_path=sr,
+            plt_folder=None, sr_dist=2000, srp_cutoff=3.0,
+            backend="fast", max_blk_sz=1000, verbose=False,
+            n_devices=nd, pipeline_depth=2,
+        )
+        return links, open(sr).read(), sorted(open(lr).read().splitlines())
+
+    one, sr1, lr1 = run("d1", 1)
+    eight, sr8, lr8 = run("d8", 8)
+    assert sr8 == sr1
+    assert lr8 == lr1
+    assert np.array_equal(one.pos1, eight.pos1)
+    assert np.array_equal(one.srp_max, eight.srp_max)
+
+
 def test_pipelined_checkpoint_resume_mid_queue(toy_snp_data, toy_hdw, tmp_path):
     """Checkpoints written by a pipelined run replay correctly on rerun."""
     sd = toy_snp_data
