@@ -707,6 +707,10 @@ def perform_mi_computation(
         valid = np.arange(ranked.pos.size) < snp_data.nsnp
         nb = ranked.rank_codes.shape[1] // ranked.block
         hdw64 = np.asarray(hdw, dtype=np.float64)
+        from ldweaver_tpu.parallel.slabs import auto_budget
+
+        if device_budget_bytes is None:
+            device_budget_bytes = auto_budget()  # HBM cap when reported
         _, max_slabs, panel = plan_budget(
             snp_data.nseq, ranked.block, nb, device_budget_bytes
         )

@@ -483,9 +483,14 @@ def prepare_fast_sweep(
     from ldweaver_tpu.parallel.slabs import SlabCache, plan_budget
     from ldweaver_tpu.parallel.sweep import get_mesh
 
+    from ldweaver_tpu.parallel.slabs import auto_budget
+
     mesh = get_mesh(n_devices)
     mesh_key = id(mesh)
     _MESH_STORE[mesh_key] = mesh
+
+    if hbm_budget_bytes is None:
+        hbm_budget_bytes = auto_budget(mesh.devices.flat[0])
 
     ranked = stratify(
         snp_data.codes, snp_data.acgtn_table, snp_data.pos, snp_data.r, block

@@ -108,6 +108,22 @@ def panel_pair_order(nb: int, panel: int) -> Iterator[Tuple[int, int]]:
                 yield i, j
 
 
+def auto_budget(device=None) -> Optional[int]:
+    """The device's HBM capacity, when the runtime exposes it (TPU PJRT
+    reports bytes_limit; CPU backends usually don't).  Used as the default
+    slab budget so >HBM alignments stream instead of OOMing."""
+    import jax
+
+    d = device if device is not None else jax.devices()[0]
+    try:
+        ms = d.memory_stats()
+    except Exception:
+        return None
+    if ms and "bytes_limit" in ms:
+        return int(ms["bytes_limit"])
+    return None
+
+
 def plan_budget(nseq: int, block: int, nb: int,
                 budget_bytes: Optional[int]) -> Tuple[bool, Optional[int], int]:
     """(streaming?, max_slabs, panel) for a given HBM byte budget.
