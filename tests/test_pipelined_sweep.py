@@ -78,6 +78,52 @@ def test_multi_device_round_robin_matches_single(toy_snp_data, toy_hdw, tmp_path
     assert np.array_equal(one.srp_max, eight.srp_max)
 
 
+def test_summary_saturation_falls_back_to_full(toy_snp_data, toy_hdw):
+    """A tiny top-K capacity forces the summary path to saturate; the
+    runner must transparently re-run the tile full and produce exactly
+    the full-transfer link sets."""
+    from ldweaver_tpu.core.sweep import FastTileRunner
+    from ldweaver_tpu.parallel.fast_sweep import stratify
+
+    sd = toy_snp_data
+    neff = float(toy_hdw.sum())
+    paint = np.ones(sd.nsnp, dtype=np.int64)
+    ranked = stratify(sd.codes, sd.acgtn_table, sd.pos, sd.r, 1024)
+    paint_sorted = np.concatenate(
+        [paint[ranked.perm], np.zeros(ranked.pos.size - sd.nsnp, np.int64)]
+    )
+    valid = np.arange(ranked.pos.size) < sd.nsnp
+    nb = ranked.rank_codes.shape[1] // 1024
+    approx, retain = 700000.0, 5000.0  # ~5000 kept >> topk=64 -> saturates
+
+    def sweep(transfer, topk):
+        sr_links = [[]]
+        lr = []
+
+        def sink(p1, p2, c1, c2, ln, mi):
+            lr.extend(zip(p1.tolist(), p2.tolist(), mi.tolist()))
+
+        runner = FastTileRunner(
+            ranked, paint_sorted, valid, toy_hdw, neff, sd.g, 2000,
+            retain, approx, sr_links, transfer=transfer, topk=topk,
+        )
+        for bi in range(nb):
+            for bj in range(bi, nb):
+                runner.finish(runner.dispatch(bi, bj), sink)
+        srk = {
+            (int(a), int(b))
+            for parts in sr_links for t in parts
+            for a, b in zip(t.pos1, t.pos2)
+        }
+        return {(a, b) for a, b, _ in lr}, srk
+
+    lr_sat, sr_sat = sweep("summary", topk=64)   # saturates -> fallback
+    lr_full, sr_full = sweep("full", topk=64)
+    assert sr_sat == sr_full
+    assert lr_sat == lr_full  # fallback is exact, not boundary-noisy
+    assert len(lr_full) > 1000
+
+
 def test_pipelined_checkpoint_resume_mid_queue(toy_snp_data, toy_hdw, tmp_path):
     """Checkpoints written by a pipelined run replay correctly on rerun."""
     sd = toy_snp_data
