@@ -141,6 +141,29 @@ def test_auto_budget_cpu_safe():
     assert not state.streaming  # tiny tensor always fits
 
 
+@pytest.mark.parametrize("seed,slabs", [(11, 3), (12, 4), (13, 7)])
+def test_streaming_equivalence_randomized(seed, slabs):
+    """Random data x random cache capacities: streaming must always equal
+    the resident sweep bit-for-bit (panel order and eviction schedule are
+    internal details)."""
+    sd, w = _synth(nsnp=640, nseq=40, g=150_000, seed=seed)
+    block = 64
+    res = fast_lr_topk(sd, w, block=block, sr_dist=4000, topk=128)
+    budget = int(40 * 64 * (slabs + 1) / 0.6)  # -> max_slabs ~ slabs+1
+    state = prepare_fast_sweep(sd, w, block=block, hbm_budget_bytes=budget)
+    assert state.streaming
+    stream = fast_lr_topk(state=state, sr_dist=4000, topk=128)
+
+    def canon(t):
+        lo = np.minimum(t[0], t[1])
+        hi = np.maximum(t[0], t[1])
+        o = np.lexsort((hi, lo))
+        return lo[o], hi[o], t[2][o]
+
+    for a, b in zip(canon(res), canon(stream)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_streaming_second_sweep_reuses_compilation():
     sd, w = _synth(nsnp=512, nseq=48)
     state = prepare_fast_sweep(
