@@ -756,6 +756,13 @@ def perform_mi_computation(
         while queue:
             finish_one()
         runner.unpin_all()
+        if verbose:
+            ups = sum(c.uploads for c in runner.caches)
+            hits = sum(c.hits for c in runner.caches)
+            print(
+                f"Slab cache: {ups} uploads, {hits} hits over "
+                f"{npairs_total} tiles x {len(runner.devices)} device(s)"
+            )
     else:
         for bi in range(blocks.shape[0]):
             t0 = time.time()

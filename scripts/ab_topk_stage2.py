@@ -36,6 +36,15 @@ def build(variant):
                 v, ix = jax.lax.top_k(flat, K)
             elif variant == "approx":
                 v, ix = jax.lax.approx_max_k(flat, K, recall_target=0.99)
+            elif variant == "sort":
+                # exact: full descending sort (O(n log n) beats top_k's
+                # O(n k) at k=1024), then slice
+                idx0 = jax.lax.broadcasted_iota(
+                    jnp.int32, flat.shape, 0
+                )
+                sv, si = jax.lax.sort_key_val(-flat, idx0)
+                v = -sv[:K]
+                ix = si[:K]
             else:  # two-level
                 C2 = 8
                 resh = flat.reshape(-1, C2)
@@ -52,7 +61,7 @@ def build(variant):
 
 stack = jnp.asarray(tiles)
 print(f"B={B} C={C} cand/tile={B * B // C} K={K} tiles={NT}")
-for variant in ("exact", "approx", "two-level"):
+for variant in ("exact", "approx", "sort", "two-level"):
     fn = build(variant)
     v = float(fn(stack))  # compile + run
     t0 = time.time()
