@@ -633,21 +633,46 @@ def perform_mi_computation(
             os.unlink(lr_save_path)
 
     def lr_sink(pos1, pos2, clust1, clust2, lens, vals):
-        rows = zip(pos1, pos2, clust1, clust2, lens, vals)
-        append_tsv_rows(
-            lr_save_path,
-            (
+        # fast row formatting: "%.15g" is byte-identical to format_float
+        # for finite values (it collapses integral floats to int form like
+        # R's as.character); +0.0 normalises -0.0 -> "0" like R.  ~3x the
+        # throughput of per-value formatting - the LR sink writes up to
+        # lr_retain_links rows and was the dominant host cost after the
+        # sweep itself.
+        lens = np.asarray(lens, np.float64) + 0.0
+        vals = np.asarray(vals, np.float64) + 0.0
+        if np.isnan(lens).any() or np.isnan(vals).any():  # NA semantics
+            rows = zip(pos1, pos2, clust1, clust2, lens, vals)
+            append_tsv_rows(
+                lr_save_path,
                 (
-                    str(int(a)),
-                    str(int(b)),
-                    str(int(c)),
-                    str(int(d)),
-                    format_float(e),
-                    format_float(f),
+                    (
+                        str(int(a)),
+                        str(int(b)),
+                        str(int(c)),
+                        str(int(d)),
+                        format_float(e),
+                        format_float(f),
+                    )
+                    for a, b, c, d, e, f in rows
+                ),
+            )
+            return
+        fmt = "%d\t%d\t%d\t%d\t%.15g\t%.15g\n"
+        with open(lr_save_path, "at") as fh:
+            fh.write(
+                "".join(
+                    fmt % t
+                    for t in zip(
+                        np.asarray(pos1, np.int64).tolist(),
+                        np.asarray(pos2, np.int64).tolist(),
+                        np.asarray(clust1, np.int64).tolist(),
+                        np.asarray(clust2, np.int64).tolist(),
+                        lens.tolist(),
+                        vals.tolist(),
+                    )
                 )
-                for a, b, c, d, e, f in rows
-            ),
-        )
+            )
 
     chkpt = (
         _BlockCheckpoint(
