@@ -53,7 +53,12 @@ _API = {
     # L6 outputs (R/SnpEffAnnotations.R:29, R/createGWESExplorerOutput.R:23,
     # R/io_functions.R:13-83,363-460)
     "perform_annotations": ("ldweaver_tpu.annotate", "perform_annotations"),
+    # exact reference NAMESPACE name aliases (perform_snpEff_annotations /
+    # write_output_for_gwes_explorer, NAMESPACE:19,25)
+    "perform_snpeff_annotations": ("ldweaver_tpu.annotate", "perform_annotations"),
     "write_gwes_explorer_output": (
+        "ldweaver_tpu.io.writers", "write_gwes_explorer_output"),
+    "write_output_for_gwes_explorer": (
         "ldweaver_tpu.io.writers", "write_gwes_explorer_output"),
     "snpdat_to_fa": ("ldweaver_tpu.io.writers", "snpdat_to_fa"),
     "generate_links_snps_fasta": (
