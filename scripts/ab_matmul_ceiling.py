@@ -32,40 +32,45 @@ rhs_host = rng.standard_normal((B, T * S)).astype(np.float32)
 
 
 def timed(fn, *args, reps=NT):
-    out = fn(*args)  # compile
-    jax.block_until_ready(out)
+    """Scalar on-device reduction per rep; ONE tiny host pull at the end
+    (a full-tile pull through the relay costs seconds and would swamp the
+    measurement - CLAUDE.md)."""
+    _ = float(np.asarray(fn(jnp.float32(0), *args)))  # compile
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    v = np.asarray(jax.device_get(out if not isinstance(out, tuple) else out[0]))
+    acc = jnp.float32(0)
+    for i in range(reps):
+        acc = fn(acc * jnp.float32(1e-9), *args)  # serialise via carry
+    v = float(np.asarray(acc))
     dt = (time.time() - t0) / reps
-    return dt, float(np.sum(v[:4]))
+    return dt, v
 
 
 # 1) bare dot at the contingency shape
 @jax.jit
-def bare_dot(lhs, rhs):
-    return jax.lax.dot(
-        lhs.astype(jnp.bfloat16), rhs.astype(jnp.bfloat16).T,
+def bare_dot(acc, lhs, rhs):
+    d = jax.lax.dot(
+        (lhs + acc).astype(jnp.bfloat16), rhs.astype(jnp.bfloat16).T,
         preferred_element_type=jnp.float32,
     )
+    return d.sum()
 
 
 # 2) full rank tile (1 contingency dot + marginals + closure + epilogue)
 @jax.jit
-def tile(cf, ct, w32d, wp, rf, rt):
-    return _rank_tile_mi(cf, ct, w32d, wp, rf, rt, neff, 2, 2, T)
+def tile(acc, cf, ct, w32d, wp, rf, rt):
+    return _rank_tile_mi(cf, ct, w32d + acc, wp, rf, rt, neff, 2, 2, T).sum()
 
 
 # 3) tile + mask + two-stage top-k (the per-tile production work)
 @jax.jit
-def tile_topk(cf, ct, w32d, wp, rf, rt, pf, pt):
-    mi = _rank_tile_mi(cf, ct, w32d, wp, rf, rt, neff, 2, 2, T)
+def tile_topk(acc, cf, ct, w32d, wp, rf, rt, pf, pt):
+    mi = _rank_tile_mi(cf, ct, w32d + acc, wp, rf, rt, neff, 2, 2, T)
     diff = pt[None, :] - pf[:, None]
     d = diff + jnp.where(diff < 0, 2_200_000, 0)
     lens = 0.5 * 2_200_000 - jnp.abs(d.astype(jnp.float32) - 0.5 * 2_200_000)
     masked = jnp.where(lens > 20000, mi, -jnp.inf)
-    return _tile_lr_topk(masked, B, B, 1024)
+    v, ix = _tile_lr_topk(masked, B, B, 1024)
+    return v.sum()
 
 
 flops = 2 * B * B * (T * S)
