@@ -283,6 +283,16 @@ class FastTileRunner:
         self.cache = self.caches[0]  # single-device alias (tests, fallback)
         self._rr = 0  # round-robin cursor
 
+    def _pure(self, bi: int, bj: int) -> bool:
+        """Both blocks r-pure -> telescoped epilogue (fast_sweep
+        _rank_tile_mi pure=True).  Pad rows' garbage values are safe: the
+        summary path masks via val_f/val_t and rows_sel/cols_sel are
+        valid-filtered; the full path's host extraction masks pads too."""
+        bp = getattr(self.ranked, "block_pure", None)
+        if bp is None:
+            return False
+        return bool(bp[bi]) and bool(bp[bj])
+
     def _use_summary(self) -> bool:
         B = self.ranked.block
         return self.transfer == "summary" or (
@@ -342,7 +352,7 @@ class FastTileRunner:
 
         fn = _build_rank_tile_summary(
             B, B, int(r_f.max()), int(r_t.max()), 3, self.topk,
-            nrow_cap, ncol_cap,
+            nrow_cap, ncol_cap, pure=self._pure(bi, bj),
         )
         w32_d, wparts_d, neff_d = self._consts[di]
         # small per-tile operands stay as numpy: jit transfers them to the
@@ -380,7 +390,8 @@ class FastTileRunner:
         t_sl = slice(bj * B, (bj + 1) * B)
         r_f = ranked.r[f_sl]
         r_t = ranked.r[t_sl]
-        fn = _build_rank_tile(B, B, int(r_f.max()), int(r_t.max()), 3)
+        fn = _build_rank_tile(B, B, int(r_f.max()), int(r_t.max()), 3,
+                              pure=self._pure(bi, bj))
         w32_d, wparts_d, neff_d = self._consts[di]
         out = fn(
             slab_f, slab_t, w32_d, wparts_d,

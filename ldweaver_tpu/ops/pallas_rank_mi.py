@@ -49,15 +49,22 @@ def _kernel_body(TF, TT, SK, Rf, Rt, n_terms):
             counts_ref[...] = jnp.zeros_like(counts_ref)
 
         if Rf >= 2 and Rt >= 2:
-            cf = codes_f_ref[...]
-            ct = codes_t_ref[...]
-            rhs = [(ct == y).astype(jnp.bfloat16) for y in range(Rt - 1)]
+            # compare in bf16 (codes are small ints, exact in bf16) and
+            # build the lhs by multiply, NOT where-with-[1,SK]-broadcast:
+            # Mosaic cannot relayout an i1 mask from (8,128) to the
+            # replicated (16,128) tiling that the bf16 select would need
+            # ("Invalid relayout ... vector<TFxSKxi1>").
+            cf = codes_f_ref[...].astype(jnp.bfloat16)
+            ct = codes_t_ref[...].astype(jnp.bfloat16)
+            rhs = [
+                (ct == jnp.bfloat16(y)).astype(jnp.bfloat16)
+                for y in range(Rt - 1)
+            ]
             for x in range(Rf - 1):
-                onehot_f = cf == x
+                onehot_f = (cf == jnp.bfloat16(x)).astype(jnp.bfloat16)
                 lhs_terms = [
-                    jnp.where(
-                        onehot_f, wparts_ref[t, :][None, :], jnp.bfloat16(0)
-                    )
+                    onehot_f
+                    * jnp.broadcast_to(wparts_ref[t, :][None, :], (TF, SK))
                     for t in range(n_terms)
                 ]
                 for y in range(Rt - 1):

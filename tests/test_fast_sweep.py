@@ -262,6 +262,50 @@ def test_rank_tile_all_bucket_shapes(rmax_f, rmax_t):
     )
 
 
+@pytest.mark.parametrize("Rf,Rt", [(2, 2), (3, 3), (2, 5), (5, 5)])
+def test_rank_tile_pure_epilogue(Rf, Rt):
+    """The telescoped pure-r epilogue (denominator factorization +
+    marginal-closure telescoping; ~18% faster/tile on v5e) must agree
+    with both the oracle and the general gated path when every site has
+    r == rmax."""
+    import jax.numpy as jnp
+
+    from ldweaver_tpu.core.mi import mi_tile_numpy
+    from ldweaver_tpu.parallel.fast_sweep import _build_rank_tile, _wparts
+
+    rng = np.random.default_rng(Rf * 10 + Rt)
+    F, T, S = 40, 36, 200
+    w = rng.uniform(0.1, 1.0, S)
+
+    def make(B, R):
+        codes = rng.integers(0, R, (B, S)).astype(np.uint8)
+        codes[:, :R] = np.arange(R)[None, :]  # every rank present
+        return codes, np.full(B, R, np.int64)
+
+    codes_f, r_f = make(F, Rf)
+    codes_t, r_t = make(T, Rt)
+    uq_f = (np.arange(5)[None, :] < r_f[:, None]).astype(np.uint8)
+    uq_t = (np.arange(5)[None, :] < r_t[:, None]).astype(np.uint8)
+    neff = float(w.sum())
+    oracle = mi_tile_numpy(
+        codes_f, codes_t, w, r_f, r_t, uq_f, uq_t, neff, rxy_compat=False
+    )
+    w32, wparts = _wparts(w)
+    args = (
+        jnp.asarray(codes_f), jnp.asarray(codes_t), jnp.asarray(w32),
+        jnp.asarray(wparts), jnp.asarray(r_f, jnp.float32),
+        jnp.asarray(r_t, jnp.float32), jnp.asarray(np.float32(neff)),
+    )
+    general = np.asarray(_build_rank_tile(F, T, Rf, Rt, 3, pure=False)(*args))
+    pure = np.asarray(_build_rank_tile(F, T, Rf, Rt, 3, pure=True)(*args))
+    assert np.allclose(pure, oracle, rtol=2e-4, atol=2e-5), (
+        np.abs(pure - oracle).max()
+    )
+    assert np.allclose(pure, general, atol=2e-5), (
+        np.abs(pure - general).max()
+    )
+
+
 def test_bench_machinery_smoke():
     """bench.py's synth + fast_lr_topk path runs end-to-end (tiny shapes,
     CPU) so the benchmark cannot bit-rot."""
