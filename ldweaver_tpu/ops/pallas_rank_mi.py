@@ -49,22 +49,30 @@ def _kernel_body(TF, TT, SK, Rf, Rt, n_terms):
             counts_ref[...] = jnp.zeros_like(counts_ref)
 
         if Rf >= 2 and Rt >= 2:
-            # compare in bf16 (codes are small ints, exact in bf16) and
-            # build the lhs by multiply, NOT where-with-[1,SK]-broadcast:
-            # Mosaic cannot relayout an i1 mask from (8,128) to the
-            # replicated (16,128) tiling that the bf16 select would need
-            # ("Invalid relayout ... vector<TFxSKxi1>").
-            cf = codes_f_ref[...].astype(jnp.bfloat16)
-            ct = codes_t_ref[...].astype(jnp.bfloat16)
+            # Mosaic-supported op sequence only: u8 -> i32 -> f32 loads,
+            # f32 compares (native (8,128) i1), i1 -> f32 one-hot, f32
+            # multiply, f32 -> bf16 downcast.  NOT where-with-[1,SK]-
+            # broadcast (i1 relayout to replicated (16,128) is
+            # unsupported: "Invalid relayout ... vector<TFxSKxi1>") and
+            # NOT u8 -> bf16 ("Unsupported cast: uint8 -> bfloat16").
+            # wparts are bf16-representable, so the f32 product with a
+            # 0/1 one-hot downcasts to bf16 exactly.
+            cf = codes_f_ref[...].astype(jnp.int32).astype(jnp.float32)
+            ct = codes_t_ref[...].astype(jnp.int32).astype(jnp.float32)
             rhs = [
-                (ct == jnp.bfloat16(y)).astype(jnp.bfloat16)
+                (ct == jnp.float32(y)).astype(jnp.bfloat16)
                 for y in range(Rt - 1)
             ]
+            wrow = [
+                jnp.broadcast_to(
+                    wparts_ref[t, :][None, :].astype(jnp.float32), (TF, SK)
+                )
+                for t in range(n_terms)
+            ]
             for x in range(Rf - 1):
-                onehot_f = (cf == jnp.bfloat16(x)).astype(jnp.bfloat16)
+                onehot_f = (cf == jnp.float32(x)).astype(jnp.float32)
                 lhs_terms = [
-                    onehot_f
-                    * jnp.broadcast_to(wparts_ref[t, :][None, :], (TF, SK))
+                    (onehot_f * wrow[t]).astype(jnp.bfloat16)
                     for t in range(n_terms)
                 ]
                 for y in range(Rt - 1):
@@ -180,9 +188,9 @@ def mi_tile_rank_pallas(
     r_t: np.ndarray,
     neff: float,
     n_terms: int = 3,
-    tile_f: int = 512,
-    tile_t: int = 512,
-    chunk_s: int = 512,
+    tile_f: int = 256,
+    tile_t: int = 256,
+    chunk_s: int = 1024,
     device_get: bool = True,
 ):
     """Host-facing wrapper matching fast_sweep.mi_tile_rank's signature."""
