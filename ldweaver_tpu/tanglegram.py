@@ -23,21 +23,70 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
-def _segment_positions(positions: np.ndarray, break_segments: int) -> np.ndarray:
-    """Cut tophit positions into contiguous segments via 1-D hierarchical
-    clustering (the reference hclust-cuts positions,
-    R/createTanglegram.R:35).  Single-linkage on sorted gaps == cutting at
-    the (break_segments-1) largest gaps."""
-    uniq = np.unique(positions)
-    k = min(break_segments, uniq.size)
-    if k <= 1 or uniq.size < 2:
-        return np.zeros(positions.size, dtype=np.int64)
-    gaps = np.diff(uniq)
-    cut_idx = np.sort(np.argsort(-gaps, kind="stable")[: k - 1])
-    boundaries = uniq[cut_idx] + 0.5
-    seg_of_uniq = np.searchsorted(boundaries, uniq)
-    lut = {int(u): int(s) for u, s in zip(uniq, seg_of_uniq)}
-    return np.array([lut[int(p)] for p in positions], dtype=np.int64)
+def _hclust_complete_cutree_1d(values: np.ndarray, k: int) -> np.ndarray:
+    """``cutree(hclust(dist(values)), k)`` for 1-D data — complete linkage,
+    R hclust's default method (R/createTanglegram.R:35).
+
+    In 1-D, complete-linkage clusters are always contiguous intervals over
+    the sorted values: the inter-cluster distance of two interval clusters
+    is (right interval max − left interval min), so the global minimum is
+    always attained by an ADJACENT pair, and each agglomeration step merges
+    the adjacent pair with the smallest merged span.  That greedy loop is
+    exactly complete-linkage hclust; ties between equal merge heights are
+    broken leftmost here (R hclust breaks them by internal observation
+    index — partitions can differ only on exact ties).  Duplicate values
+    merge at height 0 first, so k is clamped to the number of distinct
+    values (R cutree would instead split height-0 clusters arbitrarily).
+
+    Returns 1-based labels numbered by first appearance in ``values``
+    (R cutree semantics).
+    """
+    values = np.asarray(values)
+    uniq = np.unique(values)
+    m = uniq.size
+    k_eff = max(1, min(k, m))
+    # interval clusters over sorted uniques: parallel lists of start/end idx
+    starts = list(range(m))
+    ends = list(range(m))
+    while len(starts) > k_eff:
+        spans = [uniq[ends[i + 1]] - uniq[starts[i]] for i in range(len(starts) - 1)]
+        j = int(np.argmin(spans))
+        ends[j] = ends[j + 1]
+        del starts[j + 1], ends[j + 1]
+    labels_sorted = np.empty(m, dtype=np.int64)
+    for ci, (s, e) in enumerate(zip(starts, ends)):
+        labels_sorted[s : e + 1] = ci
+    raw = labels_sorted[np.searchsorted(uniq, values)]
+    remap: dict = {}
+    out = np.empty(values.size, dtype=np.int64)
+    for i, lab in enumerate(raw):
+        if lab not in remap:
+            remap[lab] = len(remap) + 1
+        out[i] = remap[lab]
+    return out
+
+
+def _segment_links(pos1: np.ndarray, break_segments: int) -> np.ndarray:
+    """Assign every tophit link a pseudo-chromosome by clustering its pos1
+    (R/createTanglegram.R:35: ``cutree(hclust(dist(tophits$pos1)), k)``),
+    then relabel by ascending min-pos1 the way the reference does
+    (R/createTanglegram.R:38-49).
+
+    Reference quirk replicated as-is: the relabel applies the permutation
+    ``order(mins)`` DIRECTLY (``dc_tmp[dc == i] = clst_brk_ord[i]``) rather
+    than its inverse, so when ``order(mins)`` is not an involution the
+    labels are NOT in ascending-position order — matching the R output, not
+    the apparent intent.
+    """
+    dc = _hclust_complete_cutree_1d(pos1, break_segments)
+    k = int(dc.max())
+    mins = np.array([pos1[dc == i].min() for i in range(1, k + 1)])
+    ord_ = np.argsort(mins, kind="stable") + 1  # R order(): 1-based cluster ids
+    out = dc.copy()
+    for i in range(1, k + 1):
+        if ord_[i - 1] != i:
+            out[dc == i] = ord_[i - 1]
+    return out
 
 
 def _locus_name(p: int, features: List) -> str:
@@ -61,18 +110,16 @@ def create_tanglegram(
         return
     pos1 = tophits["pos1"].to_numpy()
     pos2 = tophits["pos2"].to_numpy()
-    allpos = np.concatenate([pos1, pos2])
-    segs = _segment_positions(allpos, break_segments)
-    seg1 = segs[: pos1.size]
-    seg2 = segs[pos1.size :]
+    # per-LINK pseudo-chromosome from pos1 alone (R/createTanglegram.R:35);
+    # pos2 plays no part in segmentation in the reference.
+    segs = _segment_links(pos1, break_segments)
 
     # assignment table export
     df = pd.DataFrame(
         dict(
             pos1=pos1,
             pos2=pos2,
-            segment1=seg1,
-            segment2=seg2,
+            segment=segs,
             MI=tophits["MI"].to_numpy(),
         )
     )
@@ -82,10 +129,8 @@ def create_tanglegram(
         index=False,
     )
 
-    for s in np.unique(np.concatenate([seg1, seg2])):
-        sel = (seg1 == s) | (seg2 == s)
-        if not sel.any():
-            continue
+    for s in np.unique(segs):
+        sel = segs == s
         p1 = pos1[sel]
         p2 = pos2[sel]
         lo = min(p1.min(), p2.min())
@@ -111,9 +156,9 @@ def create_tanglegram(
         ax.set_xticks([0, 1])
         ax.set_xticklabels([str(lo), str(hi)], fontsize=6)
         ax.set_yticks([])
-        ax.set_title(f"{links_type} tanglegram segment {int(s) + 1}", fontsize=8)
+        ax.set_title(f"{links_type} tanglegram segment {int(s)}", fontsize=8)
         fig.tight_layout()
         fig.savefig(
-            os.path.join(tanglegram_folder, f"segment_{int(s) + 1}.png")
+            os.path.join(tanglegram_folder, f"segment_{int(s)}.png")
         )
         plt.close(fig)
