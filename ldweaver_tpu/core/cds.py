@@ -210,6 +210,41 @@ class CdsVar:
     allele_table: np.ndarray  # [5, nsnp]
     nclust: int
 
+    def save_npz(self, path: str) -> None:
+        """Persist as the `cds_var.rds` resume artifact
+        (R/BacGWES.R:358-360)."""
+        np.savez_compressed(
+            path,
+            var_estimate=self.var_estimate,
+            cds_start=self.cds_start,
+            cds_end=self.cds_end,
+            km_clst_ord=self.clusts.km_clst_ord,
+            cutoff=np.float64(self.clusts.cutoff),
+            paint=self.paint,
+            ref=self.ref,
+            alt=self.alt,
+            allele_table=self.allele_table,
+            nclust=np.int64(self.nclust),
+        )
+
+    @classmethod
+    def load_npz(cls, path: str) -> "CdsVar":
+        """Reload a saved cds_var artifact (R/BacGWES.R:361-364)."""
+        with np.load(path, allow_pickle=False) as z:
+            return cls(
+                var_estimate=z["var_estimate"],
+                cds_start=z["cds_start"],
+                cds_end=z["cds_end"],
+                clusts=Clusters(
+                    km_clst_ord=z["km_clst_ord"], cutoff=float(z["cutoff"])
+                ),
+                paint=z["paint"],
+                ref=z["ref"],
+                alt=z["alt"],
+                allele_table=z["allele_table"],
+                nclust=int(z["nclust"]),
+            )
+
 
 def estimate_variation_in_cds(
     snp_data: SnpData,

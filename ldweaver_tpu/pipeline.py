@@ -227,13 +227,30 @@ def ldweaver(
 
         stage1.__exit__()
         # ---- BLK2: annotation (R/BacGWES.R:306-335)
+        # resume cache: parsed_gbk.rds / parsed_gff3.rds equivalents
+        # (R/BacGWES.R:314-319) as pickles of the parsed dataclasses.
         print("\n#################### BLOCK 2 ####################\n")
+        import pickle
+
+        ann_base = "parsed_gbk.pkl" if gbk_path is not None else "parsed_gff3.pkl"
+        ann_cache = _first_existing(
+            os.path.join(add_path, ann_base), os.path.join(dset, ann_base)
+        )
         gbk = None
         gff = None
         if gbk_path is not None:
-            gbk, ref_g = parse_genbank_file(
-                gbk_path, g=snp_data.g, length_check=validate_ref_ann_lengths
-            )
+            if os.path.exists(ann_cache):
+                print("Loading parsed gbk file...")
+                with open(ann_cache, "rb") as fh:
+                    gbk = pickle.load(fh)
+                ref_g = gbk.length if gbk.length else len(gbk.sequence)
+            else:
+                gbk, ref_g = parse_genbank_file(
+                    gbk_path, g=snp_data.g, length_check=validate_ref_ann_lengths
+                )
+                if cfg.save_additional_outputs:
+                    with open(ann_cache, "wb") as fh:
+                        pickle.dump(gbk, fh)
             cds_features = gbk.cds
             cds_starts, cds_ends = gbk.cds_ranges()
             ref_seq = gbk.sequence
@@ -242,9 +259,19 @@ def ldweaver(
                 snp_data.g = ref_g  # R/BacGWES.R:337-342
                 print(f"Extracted ref genome length {ref_g} from genbank...")
         else:
-            gff = parse_gff_file(
-                gff3_path, ref_fasta_path, perform_length_check=validate_ref_ann_lengths
-            )
+            if os.path.exists(ann_cache):
+                print("Loading parsed gff3 file...")
+                with open(ann_cache, "rb") as fh:
+                    gff = pickle.load(fh)
+            else:
+                gff = parse_gff_file(
+                    gff3_path,
+                    ref_fasta_path,
+                    perform_length_check=validate_ref_ann_lengths,
+                )
+                if cfg.save_additional_outputs:
+                    with open(ann_cache, "wb") as fh:
+                        pickle.dump(gff, fh)
             cds_features = [
                 f for f in gff.features if f.type.lower() == "cds"
             ]
@@ -258,14 +285,21 @@ def ldweaver(
             snp_data.save_npz(snp_path)
 
         # ---- BLK3: CDS diversity (R/BacGWES.R:353-364)
+        # resume cache: cds_var.rds equivalent (R/BacGWES.R:358-364)
         print("\n#################### BLOCK 3 ####################\n")
-        cds_var = estimate_variation_in_cds(
-            snp_data,
-            cds_starts,
-            cds_ends,
-            ref_seq,
-            num_clusts_cds=cfg.num_clusts_CDS,
-        )
+        if os.path.exists(cds_var_path):
+            print("Loading previous CDS variation estimates")
+            cds_var = CdsVar.load_npz(cds_var_path)
+        else:
+            cds_var = estimate_variation_in_cds(
+                snp_data,
+                cds_starts,
+                cds_ends,
+                ref_seq,
+                num_clusts_cds=cfg.num_clusts_CDS,
+            )
+            if cfg.save_additional_outputs:
+                cds_var.save_npz(cds_var_path)
         from ldweaver_tpu.plots import plot_cds_clusters
 
         plot_cds_clusters(cds_var, os.path.join(dset, "CDS_clustering.png"))
@@ -583,7 +617,7 @@ def cleanup(dset: str, delete_after_moving: bool = False) -> None:
 
     rules = [
         (r"^c\d+_fit_data\.npz$", "Fit"),
-        (r"^(cds_var|hdw|parsed_gbk|parsed_gff3|snp_ACGTN)\.(rds|npz)$",
+        (r"^(cds_var|hdw|parsed_gbk|parsed_gff3|snp_ACGTN)\.(rds|npz|pkl)$",
          "Additional_Outputs"),
         (r"^c\d+_fit\.png$", "Fit"),
         (r"^CDS_clustering\.png$", "Fit"),

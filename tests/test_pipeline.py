@@ -138,6 +138,43 @@ def test_sr_links_agree_across_backends(run_jax, run_numpy):
     assert len(kj ^ kn) <= max(2, int(0.002 * max(len(kj), len(kn))))
 
 
+def test_resume_uses_blk2_blk3_caches(toy_gbk_path, tmp_path, monkeypatch):
+    """With save_additional_outputs, BLK2/BLK3 persist parsed_gbk.pkl and
+    cds_var.npz and a resumed run loads them instead of recomputing
+    (R/BacGWES.R:314-319,358-364)."""
+    import ldweaver_tpu.pipeline as pl
+
+    dset = str(tmp_path / "cache_run")
+    pos = np.loadtxt(TOY_POS, dtype=np.int64)
+    kwargs = dict(
+        dset=dset,
+        aln_path=TOY_ALN,
+        aln_has_all_bases=False,
+        pos=pos,
+        gbk_path=toy_gbk_path,
+        validate_ref_ann_lengths=False,
+        backend="jax",
+        save_additional_outputs=True,
+    )
+    sr_first = ldweaver(**kwargs)
+    for rel in ("parsed_gbk.pkl", "cds_var.npz", "hdw.npz", "snp_ACGTN.npz"):
+        assert os.path.exists(
+            os.path.join(dset, "Additional_Outputs", rel)
+        ), rel
+
+    # a resumed run must not re-parse or re-estimate
+    def _boom(*a, **k):
+        raise AssertionError("recomputed despite cache")
+
+    monkeypatch.setattr(pl, "parse_genbank_file", _boom)
+    monkeypatch.setattr(pl, "estimate_variation_in_cds", _boom)
+    sr_again = ldweaver(**kwargs)
+    assert len(sr_again) == len(sr_first)
+    assert np.allclose(
+        np.sort(sr_again["MI"].to_numpy()), np.sort(sr_first["MI"].to_numpy())
+    )
+
+
 def test_resume_from_cache(run_jax, toy_gbk_path):
     """Re-running on an existing dset resumes from saved artifacts
     (R/BacGWES.R:226-241,300-303,382-385)."""
