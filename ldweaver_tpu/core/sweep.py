@@ -282,6 +282,15 @@ class FastTileRunner:
         ]
         self.cache = self.caches[0]  # single-device alias (tests, fallback)
         self._rr = 0  # round-robin cursor
+        # saturation accounting: every summary tile that overflows its
+        # top-K (globally or per-row) costs one synchronous full re-run.
+        # On adversarially dense data (most pairs above the retention
+        # threshold) that would double every tile, so after repeated
+        # saturations the runner demotes itself to full transfers — a
+        # pure throughput decision; outputs are transfer-mode invariant.
+        self.fallbacks = 0
+        self._summary_ok = 0
+        self._demoted = False
 
     def _pure(self, bi: int, bj: int) -> bool:
         """Both blocks r-pure -> telescoped epilogue (fast_sweep
@@ -294,6 +303,8 @@ class FastTileRunner:
         return bool(bp[bi]) and bool(bp[bj])
 
     def _use_summary(self) -> bool:
+        if self._demoted:
+            return False
         B = self.ranked.block
         return self.transfer == "summary" or (
             self.transfer == "auto"
@@ -404,8 +415,15 @@ class FastTileRunner:
     def finish(self, pending: dict, lr_rows_sink: Callable) -> None:
         if pending["kind"] == "summary":
             if self._finish_summary(pending, lr_rows_sink):
+                self._summary_ok += 1
                 return
-            # saturated top-K: exact full-tile fallback (synchronous)
+            # saturated top-K: exact full-tile fallback (synchronous).
+            # At most ONE extra dispatch per tile; repeated saturation
+            # demotes the runner to full transfers so an adversarially
+            # dense dataset cannot serialise the whole sweep.
+            self.fallbacks += 1
+            if self.fallbacks >= 4 and self.fallbacks >= self._summary_ok:
+                self._demoted = True
             bi, bj = pending["bi"], pending["bj"]
             di = pending.get("di", 0)
             pending = self._dispatch_full(

@@ -3,6 +3,7 @@ ahead of extraction and bounding the device slab working set must not
 change any output (links, srp, TSV bytes)."""
 
 import numpy as np
+import pytest
 
 from ldweaver_tpu.core.cds import CdsVar, Clusters
 from ldweaver_tpu.core.sweep import perform_mi_computation
@@ -122,6 +123,131 @@ def test_summary_saturation_falls_back_to_full(toy_snp_data, toy_hdw):
     assert sr_sat == sr_full
     assert lr_sat == lr_full  # fallback is exact, not boundary-noisy
     assert len(lr_full) > 1000
+
+
+def _dup_heavy_synth(nsnp=1024, ndup=48, nseq=64, g=2_000_000, seed=9):
+    """Synthetic SnpData where `ndup` SNPs share one identical pattern:
+    their pairwise MIs are all maximal and far apart (LR), so any tile
+    containing them has rows with > 16 candidates above the retention
+    threshold — the per-row saturation case (core/sweep.py n_row_max)."""
+    from ldweaver_tpu.core.snp_tensor import SnpData
+
+    rng = np.random.default_rng(seed)
+    major = rng.integers(0, 4, size=nsnp)
+    minor = (major + rng.integers(1, 4, size=nsnp)) % 4
+    maf = rng.uniform(0.05, 0.5, size=nsnp)
+    codes = np.where(
+        rng.random((nseq, nsnp)) < maf[None, :], minor[None, :], major[None, :]
+    ).astype(np.uint8)
+    # duplicate one balanced pattern across ndup columns spread genome-wide
+    pattern = (rng.random(nseq) < 0.5).astype(np.uint8)  # A/C split
+    dup_cols = np.linspace(0, nsnp - 1, ndup).astype(np.int64)
+    codes[:, dup_cols] = pattern[:, None]
+    pos = np.sort(
+        rng.choice(np.arange(1, g + 1), nsnp, replace=False)
+    ).astype(np.int64)
+    acgtn = np.zeros((5, nsnp), np.int64)
+    for k in range(5):
+        acgtn[k] = (codes == k).sum(axis=0)
+    uqe = (acgtn > 0).astype(np.uint8).T
+    r = uqe.sum(axis=1).astype(np.int32)
+    sd = SnpData(
+        codes=codes, pos=pos, g=g,
+        seq_names=[str(i) for i in range(nseq)],
+        acgtn_table=acgtn, uqe=uqe, r=r,
+    )
+    return sd, rng.uniform(0.1, 0.6, size=nseq)
+
+
+def _run_fast_tiles(sd, hdw, transfer, topk, retain, approx, block=512,
+                    sr_dist=2000):
+    from ldweaver_tpu.core.sweep import FastTileRunner
+    from ldweaver_tpu.parallel.fast_sweep import stratify
+
+    neff = float(hdw.sum())
+    paint = np.ones(sd.nsnp, dtype=np.int64)
+    ranked = stratify(sd.codes, sd.acgtn_table, sd.pos, sd.r, block)
+    paint_sorted = np.concatenate(
+        [paint[ranked.perm], np.zeros(ranked.pos.size - sd.nsnp, np.int64)]
+    )
+    valid = np.arange(ranked.pos.size) < sd.nsnp
+    nb = ranked.rank_codes.shape[1] // block
+    sr_links = [[]]
+    lr = []
+
+    def sink(p1, p2, c1, c2, ln, mi):
+        lr.extend(zip(p1.tolist(), p2.tolist(), mi.tolist()))
+
+    runner = FastTileRunner(
+        ranked, paint_sorted, valid, hdw, neff, sd.g, sr_dist,
+        retain, approx, sr_links, transfer=transfer, topk=topk,
+    )
+    full_dispatches = [0]
+    orig = runner._dispatch_full
+
+    def spy(*a, **k):
+        full_dispatches[0] += 1
+        return orig(*a, **k)
+
+    runner._dispatch_full = spy
+    ntiles = 0
+    for bi in range(nb):
+        for bj in range(bi, nb):
+            runner.finish(runner.dispatch(bi, bj), sink)
+            ntiles += 1
+    srk = {
+        (int(a), int(b))
+        for parts in sr_links for t in parts
+        for a, b in zip(t.pos1, t.pos2)
+    }
+    return {(a, b): m for a, b, m in lr}, srk, runner, full_dispatches[0], ntiles
+
+
+def test_per_row_saturation_exact_and_bounded(toy_hdw):
+    """Adversarial density: duplicated SNP patterns give single rows > 16
+    LR candidates above a selective threshold (n_row_max saturation,
+    NOT global top-K overflow).  The fallback must be exact and cost at
+    most one extra full dispatch per saturated tile."""
+    sd, w = _dup_heavy_synth()
+    # selective retention: ~0.1% of pairs kept -> normal rows hold < 1
+    # candidate, duplicate rows hold ~47 -> per-row saturation only
+    retain, approx = 500.0, 500_000.0
+    topk = 32768  # far above any tile's candidate count: no global overflow
+
+    lr_s, sr_s, run_s, fulls_s, ntiles = _run_fast_tiles(
+        sd, w, "summary", topk, retain, approx
+    )
+    lr_f, sr_f, run_f, fulls_f, _ = _run_fast_tiles(
+        sd, w, "full", topk, retain, approx
+    )
+    assert run_s.fallbacks >= 1, "expected per-row saturation"
+    assert sr_s == sr_f
+    assert lr_s.keys() == lr_f.keys()
+    for k in lr_s:
+        assert lr_s[k] == pytest.approx(lr_f[k], rel=1e-6)
+    # cost bound: one full dispatch per fallback + any post-demotion tiles;
+    # never more than one full dispatch per tile overall
+    assert fulls_s <= ntiles
+    assert fulls_f == ntiles
+
+
+def test_saturation_demotes_to_full_transfers(toy_hdw):
+    """When EVERY tile saturates (retention threshold below all values),
+    the runner demotes itself after 4 wasted summary dispatches instead
+    of paying dispatch-twice for the whole sweep."""
+    sd, w = _dup_heavy_synth(nsnp=1280)
+    # retain > approx -> lr_prob == 0 -> threshold = min -> all above
+    lr_s, sr_s, run_s, fulls_s, ntiles = _run_fast_tiles(
+        sd, w, "summary", 1024, retain=2000.0, approx=1000.0, block=256
+    )
+    assert ntiles >= 10
+    assert run_s._demoted
+    assert run_s.fallbacks == 4  # bounded: not one per tile
+    assert fulls_s == ntiles  # every tile still extracted exactly once full
+    lr_f, sr_f, *_ = _run_fast_tiles(
+        sd, w, "full", 1024, retain=2000.0, approx=1000.0, block=256
+    )
+    assert sr_s == sr_f and lr_s.keys() == lr_f.keys()
 
 
 def test_pipelined_checkpoint_resume_mid_queue(toy_snp_data, toy_hdw, tmp_path):
