@@ -219,10 +219,16 @@ class FastTileRunner:
     dispatch/finish so the pipeline can queue tiles ahead (JAX async
     dispatch) and overlap device compute with host link extraction.
 
-    Transfer modes per tile: 'full' pulls the whole MI tile; 'summary'
-    pulls only the on-device quantile/top-K/SR-submatrix reduction
-    (O(K + caps^2) bytes); 'auto' chooses 'summary' when the LR retention
-    probability is selective enough for the top-K to be safe."""
+    Transfer modes per tile:
+      'extract' (the 'auto' default) — the shared on-device link
+        extraction (parallel/spmd_sweep._extract_body): row-major SR
+        compaction into the host-proven exact cap + certified two-stage
+        LR top-K; O(P_sr + K) bytes leave the device instead of B^2, and
+        results are bitwise identical to the SPMD scan sweep (same
+        compiled body).
+      'summary' — legacy quantile/top-K/SR-submatrix reduction.
+      'full' — pull the whole [B, B] MI tile (also the exact fallback
+        when extraction saturates)."""
 
     def __init__(
         self,
@@ -302,17 +308,22 @@ class FastTileRunner:
             return False
         return bool(bp[bi]) and bool(bp[bj])
 
-    def _use_summary(self) -> bool:
-        if self._demoted:
-            return False
+    def _mode(self) -> str:
+        """Per-tile transfer mode.  'extract' (the 'auto' default) pulls
+        only the bounded on-device link extraction (parallel/spmd_sweep's
+        shared body — O(P_sr + K) bytes/tile instead of the B^2 full
+        tile); 'summary' and 'full' remain as explicit overrides, and
+        demotion (repeated saturation) forces 'full'."""
+        if self._demoted or self.transfer == "full":
+            return "full"
+        if self.transfer == "summary":
+            return "summary"
+        return "extract"  # 'auto' / 'extract'
+
+    @property
+    def _K(self) -> int:
         B = self.ranked.block
-        return self.transfer == "summary" or (
-            self.transfer == "auto"
-            and self.lr_prob is not None
-            and self.lr_prob > 0.0
-            and (1.0 - self.lr_prob) * B < 48  # two-stage top-k row capacity
-            and B >= 1024
-        )
+        return 1 if self.lr_prob is None else int(min(self.topk, B * B))
 
     def pin_panel(self, rows) -> None:
         rows = list(rows)
@@ -330,9 +341,49 @@ class FastTileRunner:
         self._rr += 1
         slab_f = self.caches[di].get(bi)
         slab_t = self.caches[di].get(bj)
-        if self._use_summary():
+        mode = self._mode()
+        if mode == "extract":
+            return self._dispatch_extract(bi, bj, slab_f, slab_t, di)
+        if mode == "summary":
             return self._dispatch_summary(bi, bj, slab_f, slab_t, di)
         return self._dispatch_full(bi, bj, slab_f, slab_t, di)
+
+    def _dispatch_extract(self, bi, bj, slab_f, slab_t, di=0) -> dict:
+        from ldweaver_tpu.parallel.spmd_sweep import (
+            _build_tile_extract,
+            _next_pow2 as _sr_pow2,
+            tile_sr_count,
+        )
+
+        ranked = self.ranked
+        B = ranked.block
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        pos_f = ranked.pos[f_sl]
+        pos_t = ranked.pos[t_sl]
+        val_f = self.valid[f_sl]
+        val_t = self.valid[t_sl]
+        r_f = ranked.r[f_sl]
+        r_t = ranked.r[t_sl]
+        cnt = tile_sr_count(
+            pos_f[val_f], pos_t[val_t], self.g, self.sr_dist, bi == bj
+        )
+        fn = _build_tile_extract(
+            B, int(self.sr_dist), int(self.g), self._K, _sr_pow2(cnt),
+            int(r_f.max()), int(r_t.max()), 3, pure=self._pure(bi, bj),
+        )
+        w32_d, wparts_d, neff_d = self._consts[di]
+        outs = fn(
+            slab_f, slab_t, w32_d, wparts_d,
+            np.asarray(r_f, np.float32), np.asarray(r_t, np.float32),
+            neff_d,
+            np.asarray(pos_f, np.int32), np.asarray(pos_t, np.int32),
+            np.asarray(val_f), np.asarray(val_t),
+            np.asarray([bi, bj], np.int32), np.True_,
+        )
+        return dict(
+            kind="extract", bi=bi, bj=bj, outs=outs, expected_sr=cnt, di=di
+        )
 
     def _dispatch_summary(self, bi, bj, slab_f, slab_t, di=0) -> dict:
         from ldweaver_tpu.parallel.fast_sweep import _build_rank_tile_summary
@@ -413,8 +464,13 @@ class FastTileRunner:
 
     # -- finish: pull + host extraction ----------------------------------
     def finish(self, pending: dict, lr_rows_sink: Callable) -> None:
-        if pending["kind"] == "summary":
-            if self._finish_summary(pending, lr_rows_sink):
+        if pending["kind"] in ("summary", "extract"):
+            done = (
+                self._finish_summary(pending, lr_rows_sink)
+                if pending["kind"] == "summary"
+                else self._finish_extract(pending, lr_rows_sink)
+            )
+            if done:
                 self._summary_ok += 1
                 return
             # saturated top-K: exact full-tile fallback (synchronous).
@@ -430,6 +486,32 @@ class FastTileRunner:
                 bi, bj, self.caches[di].get(bi), self.caches[di].get(bj), di
             )
         self._finish_full(pending, lr_rows_sink)
+
+    def _finish_extract(self, pending: dict, lr_rows_sink: Callable) -> bool:
+        from ldweaver_tpu.parallel.spmd_sweep import (
+            TileExtract,
+            emit_tile_extract,
+        )
+
+        n_lr, exact, vals, idx, n_sr, sr_idx, sr_vals = (
+            np.asarray(o) for o in pending["outs"]
+        )
+        res = TileExtract(
+            n_lr=int(n_lr), exact=bool(exact), vals=vals, idx=idx,
+            n_sr=int(n_sr), sr_idx=sr_idx, sr_vals=sr_vals,
+        )
+        B = self.ranked.block
+        bi, bj = pending["bi"], pending["bj"]
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        return emit_tile_extract(
+            res, B=B,
+            pos_f=self.ranked.pos[f_sl], pos_t=self.ranked.pos[t_sl],
+            pnt_f=self.paint_sorted[f_sl], pnt_t=self.paint_sorted[t_sl],
+            g=self.g, sr_dist=self.sr_dist, lr_prob=self.lr_prob,
+            K=self._K, expected_sr=pending["expected_sr"],
+            sr_links=self.sr_links, lr_rows_sink=lr_rows_sink,
+        )
 
     def _finish_summary(self, pending: dict, lr_rows_sink: Callable) -> bool:
         ranked = self.ranked
@@ -736,7 +818,32 @@ def perform_mi_computation(
 
     from ldweaver_tpu.utils.profiling import maybe_trace
 
-    if backend == "fast":
+    if backend == "spmd":
+        # one SPMD dispatch per rank bucket over the device mesh; the
+        # complete BLK5 link extraction (SR table + per-tile LR retention)
+        # comes off the mesh with fixed-shape scan outputs — no host tile
+        # loop (parallel/spmd_sweep.py).  Byte-identical to backend="fast".
+        # Checkpointing is whole-sweep (file-granular, like the reference
+        # R/BacGWES.R:382-385): checkpoint_dir is ignored here.
+        from ldweaver_tpu.parallel.spmd_sweep import spmd_blk5_sweep
+
+        blk = min(max_blk_sz, 1 << int(np.ceil(np.log2(max(snp_data.nsnp, 2)))))
+        spmd_blk5_sweep(
+            snp_data,
+            np.asarray(hdw, dtype=np.float64),
+            cds_var.paint,
+            neff,
+            sr_dist,
+            lr_retain_links,
+            None if perform_sr_analysis_only else lr_links_approx,
+            sr_links,
+            lr_sink,
+            block=blk,
+            n_devices=n_devices,
+            perform_sr_only=perform_sr_analysis_only,
+            verbose=verbose,
+        )
+    elif backend == "fast":
         # rank-compacted, r-stratified fast path (see parallel/fast_sweep).
         # Tiles are dispatched `pipeline_depth` ahead of extraction (JAX
         # async dispatch) so host link extraction overlaps device compute,

@@ -1,0 +1,508 @@
+"""On-device link extraction shared by the pipelined and SPMD sweeps.
+
+The sharded scan sweeps (parallel/sweep.py, fast_sweep._build_bucket_sweep)
+reduce only LR top-k + histograms; the full per-link SR table that the
+background model and ARACNE consume (R/computePairwiseMI.R:333-381) was
+produced only by the host-driven FastTileRunner loop pulling whole [B, B]
+tiles.  This module closes that gap with ONE tile-extraction program used
+by BOTH drivers:
+
+  * **SR links**: every tile's short-range pair count is computable
+    exactly on host from the (static) positions via circular window
+    counts, so `jnp.nonzero(sr_mask, size=P_cap)` compacts each tile's SR
+    pairs into a bounded row-major list — no [B, B] tile leaves the
+    device, only the O(P_cap) pairs that exist.
+  * **LR links**: per-tile type-7 retention (R/computePairwiseMI.R:347-358)
+    needs only the two order statistics around the quantile, which for a
+    selective retention probability live inside the tile's top-K.  The
+    device emits an exact two-stage top-K plus an exactness certificate
+    (no stage-1 row/chunk held more candidates than its capacity); the
+    host interpolates the threshold in f64 — bit-identical to
+    `utils.r_compat.quantile_type7` on the full value set — and keeps
+    candidates >= q in row-major order.  Tiles whose certificate fails
+    (adversarial density) fall back to one exact full-tile pull.
+
+**Bitwise determinism.** XLA's elementwise codegen is fusion-context
+dependent: the same `_rank_tile_mi` graph compiled with different
+consumers produces f32 results differing at the ulp level (measured
+~1.6e-7 on the log epilogue; contingency counts and marginals stay
+bitwise equal).  Codegen IS invariant to scan trip count and to whether
+tile operands arrive as slab parameters or dynamic slices of the resident
+tensor (verified on the CPU backend), so both drivers compile the SAME
+`_extract_body`: the SPMD path as a shard_map'd `lax.scan` over its pair
+shard, the pipelined FastTileRunner as a length-1 scan per tile.  Their
+sr/lr TSVs are therefore byte-identical BY CONSTRUCTION
+(tests/test_spmd_sweep.py), and outputs are invariant to mesh size.
+
+Outputs of the SPMD driver are sharded along the pair axis (`P('b')`):
+each host reads its addressable shards, so the design extends to
+multi-process pods (parallel/multihost.py) without host-side tile loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ldweaver_tpu.parallel.fast_sweep import (
+    _MESH_STORE,
+    _build_rank_tile,
+    _rank_tile_mi,
+    _tile_lr_topk,
+    _wparts,
+    stratify,
+)
+
+
+# --------------------------------------------------------------------------
+# Host-side exact SR pair counts (positions are static)
+# --------------------------------------------------------------------------
+def _circular_window_counts(p: np.ndarray, q: np.ndarray, g: int,
+                            sr_dist: int) -> np.ndarray:
+    """#targets q within circular distance <= sr_dist of each p."""
+    qs = np.sort(q)
+    D = np.concatenate([qs, qs + g])
+    a = ((p - sr_dist - 1) % g) + 1
+    lo = np.searchsorted(D, a, side="left")
+    hi = np.searchsorted(D, a + 2 * sr_dist, side="right")
+    return hi - lo
+
+
+def tile_sr_count(pos_f: np.ndarray, pos_t: np.ndarray, g: int,
+                  sr_dist: int, same_block: bool) -> int:
+    """Exact SR pair count of one tile under the fast-path emission rule
+    (same-block: strict i > j; off-diagonal: all cross pairs)."""
+    if pos_f.size == 0 or pos_t.size == 0:
+        return 0
+    if same_block:
+        c = _circular_window_counts(pos_f, pos_f, g, sr_dist)
+        return (int(c.sum()) - pos_f.size) // 2
+    return int(_circular_window_counts(pos_f, pos_t, g, sr_dist).sum())
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+# --------------------------------------------------------------------------
+# The shared tile-extraction body
+# --------------------------------------------------------------------------
+def _extract_body(
+    codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t, pair, pvalid,
+    w32, wparts, neff, *,
+    block: int, sr_dist: int, g: int, K: int, P_sr: int,
+    Rf: int, Rt: int, terms: int, pure: bool,
+):
+    """One tile -> fixed-shape link extraction.  Compiled identically by
+    both drivers (see module docstring); any change here changes BOTH."""
+    import jax
+    import jax.numpy as jnp
+
+    mi = _rank_tile_mi(
+        codes_f, codes_t, w32, wparts, r_f, r_t, neff, Rf, Rt, terms,
+        pure=pure,
+    )
+    ii = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    same_block = pair[0] == pair[1]
+    tri = jnp.where(same_block, ii > jj, True)
+    ok = tri & val_f[:, None] & val_t[None, :] & pvalid
+    diff = pos_t[None, :] - pos_f[:, None]
+    d = diff + jnp.where(diff < 0, g, 0)
+    lens = 0.5 * g - jnp.abs(d.astype(jnp.float32) - 0.5 * g)
+    sr_ok = ok & (lens <= sr_dist)
+    lr_ok = ok & (lens > sr_dist)
+
+    # ---- SR: exact row-major compaction into the host-proven cap
+    n_sr = sr_ok.sum().astype(jnp.int32)
+    (sr_idx,) = jnp.nonzero(sr_ok.ravel(), size=P_sr, fill_value=0)
+    sr_idx = sr_idx.astype(jnp.int32)
+    sr_vals = mi.ravel()[sr_idx]
+
+    # ---- LR: exact two-stage top-K + exactness certificate
+    neg = jnp.where(lr_ok, mi, -jnp.inf)
+    n_lr = lr_ok.sum().astype(jnp.int32)
+    vals, idx = _tile_lr_topk(neg, block, block, K)
+    kth = vals[-1]
+    above_k = (neg >= kth) & lr_ok
+    if block <= 1024:
+        cap = min(64, block, K)  # _tile_lr_topk row stage
+        tot_max = lr_ok.sum(axis=1).max()
+        abv_max = above_k.sum(axis=1).max()
+    else:
+        cap = 1  # _tile_lr_topk chunked-max stage
+        resh = lambda m: m.reshape(block, block // 128, 128)  # noqa: E731
+        tot_max = resh(lr_ok).sum(axis=-1).max()
+        abv_max = resh(above_k).sum(axis=-1).max()
+    exact = (tot_max <= cap) | (jnp.isfinite(kth) & (abv_max <= cap))
+    return (n_lr, exact, vals, idx.astype(jnp.int32), n_sr, sr_idx, sr_vals)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_tile_extract(
+    block: int, sr_dist: int, g: int, K: int, P_sr: int,
+    Rf: int, Rt: int, terms: int, pure: bool,
+):
+    """Single-tile extraction for the pipelined runner: a length-1 scan of
+    `_extract_body` over slab operands — the same compiled body as the
+    SPMD scan, so results are bitwise identical across drivers."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(codes_f, codes_t, w32, wparts, r_f, r_t, neff,
+           pos_f, pos_t, val_f, val_t, pair, pvalid):
+        # pvalid is traced (not a folded constant) so the compiled body
+        # graph is IDENTICAL to the SPMD scan body's — see module
+        # docstring on fusion-context-dependent codegen
+        def body(carry, _):
+            return carry, _extract_body(
+                codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t,
+                pair, pvalid, w32, wparts, neff,
+                block=block, sr_dist=sr_dist, g=g, K=K, P_sr=P_sr,
+                Rf=Rf, Rt=Rt, terms=terms, pure=pure,
+            )
+        _, ys = jax.lax.scan(body, jnp.int32(0), None, length=1)
+        return tuple(y[0] for y in ys)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_spmd_bucket_sweep(
+    mesh_key: int,
+    block: int,
+    nseq: int,
+    sr_dist: int,
+    g: int,
+    K: int,
+    P_sr: int,
+    Rf: int,
+    Rt: int,
+    terms: int,
+    pure: bool,
+):
+    """shard_map'd scan over this bucket's block pairs (same Rf/Rt/pure
+    and the same next-pow2 SR cap, so every tile compiles the identical
+    `_extract_body` program as the pipelined driver)."""
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local(codes, wparts, w32, r, pos, valid, pairs, pair_valid, neff):
+        def body(carry, inp):
+            pair, pvalid = inp
+            fs = pair[0] * block
+            ts = pair[1] * block
+            codes_f = jax.lax.dynamic_slice(codes, (0, fs), (nseq, block)).T
+            codes_t = jax.lax.dynamic_slice(codes, (0, ts), (nseq, block)).T
+            r_f = jax.lax.dynamic_slice(r, (fs,), (block,)).astype(jnp.float32)
+            r_t = jax.lax.dynamic_slice(r, (ts,), (block,)).astype(jnp.float32)
+            pos_f = jax.lax.dynamic_slice(pos, (fs,), (block,))
+            pos_t = jax.lax.dynamic_slice(pos, (ts,), (block,))
+            val_f = jax.lax.dynamic_slice(valid, (fs,), (block,))
+            val_t = jax.lax.dynamic_slice(valid, (ts,), (block,))
+            return carry, _extract_body(
+                codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t,
+                pair, pvalid, w32, wparts, neff,
+                block=block, sr_dist=sr_dist, g=g, K=K, P_sr=P_sr,
+                Rf=Rf, Rt=Rt, terms=terms, pure=pure,
+            )
+
+        _, ys = jax.lax.scan(body, jnp.int32(0), (pairs, pair_valid))
+        return ys
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P("b"), P("b"), P()),
+            out_specs=(P("b"),) * 7,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Host-side emission from extraction results (shared by both drivers)
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class TileExtract:
+    n_lr: int
+    exact: bool
+    vals: np.ndarray  # [K] f32 desc
+    idx: np.ndarray  # [K] i32 flat
+    n_sr: int
+    sr_idx: np.ndarray  # [>=n_sr] i32 row-major
+    sr_vals: np.ndarray  # [>=n_sr] f32
+
+
+def lr_threshold_from_topk(n_lr: int, vals: np.ndarray, lr_prob: float,
+                           K: int) -> Optional[float]:
+    """The f64 type-7 retention threshold from the two order statistics
+    around the quantile, or None when they fall outside the top-K
+    (saturated tile -> caller falls back).  Bit-identical to
+    quantile_type7 over the full per-tile LR value set."""
+    n = int(n_lr)
+    h = (n - 1) * lr_prob
+    lo = int(math.floor(h))
+    i_lo = n - 1 - lo  # rank from top of x_asc[lo]
+    ncand = min(n, K)
+    if i_lo > ncand - 1:
+        return None
+    vals64 = vals.astype(np.float64)
+    x_lo = vals64[i_lo]
+    hi_asc = min(lo + 1, n - 1)
+    x_hi = vals64[n - 1 - hi_asc]
+    return float(x_lo + (h - lo) * (x_hi - x_lo))
+
+
+def emit_tile_extract(
+    res: TileExtract,
+    *,
+    B: int,
+    pos_f: np.ndarray,
+    pos_t: np.ndarray,
+    pnt_f: np.ndarray,
+    pnt_t: np.ndarray,
+    g: int,
+    sr_dist: int,
+    lr_prob: Optional[float],
+    K: int,
+    expected_sr: int,
+    sr_links: List[list],
+    lr_rows_sink: Callable,
+) -> bool:
+    """Emit one tile's links from its extraction result; returns False if
+    the tile needs the exact full-tile fallback (failed certificate or
+    retention kept more than the top-K)."""
+    from ldweaver_tpu.core.sweep import _emit_pairs
+
+    assert res.n_sr == expected_sr, (
+        f"device SR count {res.n_sr} != host count {expected_sr}"
+    )
+    q = None
+    kept_sel = None
+    if lr_prob is not None and res.n_lr > 0:
+        if not res.exact:
+            return False
+        q = lr_threshold_from_topk(res.n_lr, res.vals, lr_prob, K)
+        if q is None:
+            return False
+        cand = res.vals[: min(res.n_lr, K)].astype(np.float64)
+        kept_sel = np.flatnonzero(cand >= q)
+
+    if kept_sel is not None and kept_sel.size:
+        kidx = res.idx[kept_sel].astype(np.int64)
+        kvals = res.vals[kept_sel].astype(np.float64)
+        order = np.argsort(kidx, kind="stable")  # row-major
+        kidx = kidx[order]
+        kvals = kvals[order]
+        _emit_pairs(
+            kidx // B, kidx % B, kvals, pos_f, pos_t, pnt_f, pnt_t,
+            g, sr_dist, lr_prob, sr_links, lr_rows_sink,
+            apply_lr_quantile=False, lr_thresh=q,
+        )
+    if res.n_sr:
+        sidx = res.sr_idx[: res.n_sr].astype(np.int64)
+        svals = res.sr_vals[: res.n_sr].astype(np.float64)
+        _emit_pairs(
+            sidx // B, sidx % B, svals, pos_f, pos_t, pnt_f, pnt_t,
+            g, sr_dist, None, sr_links, lr_rows_sink,
+        )
+    return True
+
+
+# --------------------------------------------------------------------------
+# The SPMD driver: one dispatch per bucket, emission in pipeline order
+# --------------------------------------------------------------------------
+def spmd_blk5_sweep(
+    snp_data,
+    hdw: np.ndarray,
+    paint: np.ndarray,
+    neff: float,
+    sr_dist: int,
+    lr_retain_links: float,
+    lr_links_approx: Optional[float],
+    sr_links: List[list],
+    lr_rows_sink: Callable,
+    block: int,
+    n_devices: Optional[int] = None,
+    perform_sr_only: bool = False,
+    topk_cap: int = 8192,
+    verbose: bool = True,
+) -> Dict[str, int]:
+    """Run BLK5's sweep as ONE SPMD dispatch per (Rf, Rt, pure, P_cap)
+    bucket and emit links exactly like the FastTileRunner extract path
+    (same tile order, same row-major per-tile order, same f64 thresholds,
+    same compiled body), so sr/lr TSVs come out byte-identical.  Returns
+    emission stats."""
+    import jax.numpy as jnp
+
+    from ldweaver_tpu.parallel.slabs import panel_pair_order
+    from ldweaver_tpu.parallel.sweep import get_mesh
+
+    mesh = get_mesh(n_devices)
+    mesh_key = id(mesh)
+    _MESH_STORE[mesh_key] = mesh
+    nsh = mesh.devices.size
+
+    ranked = stratify(
+        snp_data.codes, snp_data.acgtn_table, snp_data.pos, snp_data.r, block
+    )
+    B = ranked.block
+    nb = ranked.rank_codes.shape[1] // B
+    valid = np.arange(ranked.pos.size) < snp_data.nsnp
+    paint_sorted = np.concatenate(
+        [paint[ranked.perm], np.zeros(ranked.pos.size - snp_data.nsnp, np.int64)]
+    )
+    g = snp_data.g
+    lr_prob = (
+        None
+        if (perform_sr_only or lr_links_approx is None)
+        else max(0.0, 1.0 - lr_retain_links / lr_links_approx)
+    )
+    K = 1 if lr_prob is None else int(min(topk_cap, B * B))
+
+    # exact SR counts + per-tile pow2 caps (the cap is part of the compile
+    # key, so it must match the pipelined driver's per-tile choice)
+    pos_blocks = [
+        ranked.pos[i * B : (i + 1) * B][valid[i * B : (i + 1) * B]]
+        for i in range(nb)
+    ]
+    sr_counts: Dict[Tuple[int, int], int] = {}
+    buckets: Dict[Tuple[int, int, bool, int], List[Tuple[int, int]]] = {}
+    for i in range(nb):
+        for j in range(i, nb):
+            cnt = tile_sr_count(pos_blocks[i], pos_blocks[j], g, sr_dist, i == j)
+            sr_counts[(i, j)] = cnt
+            key = (
+                int(ranked.block_rmax[i]),
+                int(ranked.block_rmax[j]),
+                bool(ranked.block_pure[i]) and bool(ranked.block_pure[j]),
+                _next_pow2(cnt),
+            )
+            buckets.setdefault(key, []).append((i, j))
+
+    w32, wparts = _wparts(hdw)
+    codes_dev = jnp.asarray(ranked.rank_codes)
+    wparts_dev = jnp.asarray(wparts)
+    w32_dev = jnp.asarray(w32)
+    r_dev = jnp.asarray(ranked.r)
+    pos_dev = jnp.asarray(ranked.pos, jnp.int32)
+    valid_dev = jnp.asarray(valid)
+    neff_dev = jnp.asarray(np.float32(neff))
+
+    # dispatch all buckets asynchronously (JAX async dispatch), pull after
+    pending = []
+    with mesh:
+        for (Rf, Rt, pure, P_sr), plist in sorted(
+            buckets.items(), key=lambda kv: -len(kv[1])
+        ):
+            pairs = np.asarray(plist, np.int32)
+            npad = (-len(pairs)) % nsh
+            pair_valid = np.ones(len(pairs) + npad, bool)
+            if npad:
+                pairs = np.concatenate([pairs, np.zeros((npad, 2), np.int32)])
+                pair_valid[-npad:] = False
+            fn = _build_spmd_bucket_sweep(
+                mesh_key, B, snp_data.nseq, int(sr_dist), int(g), K, P_sr,
+                Rf, Rt, 3, pure,
+            )
+            outs = fn(
+                codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
+                jnp.asarray(pairs), jnp.asarray(pair_valid), neff_dev,
+            )
+            pending.append((plist, outs))
+
+    results: Dict[Tuple[int, int], TileExtract] = {}
+    for plist, outs in pending:
+        n_lr, exact, vals, idx, n_sr, sr_idx, sr_vals = (
+            np.asarray(o) for o in outs
+        )
+        for s, (bi, bj) in enumerate(plist):
+            results[(bi, bj)] = TileExtract(
+                n_lr=int(n_lr[s]), exact=bool(exact[s]),
+                vals=vals[s], idx=idx[s],
+                n_sr=int(n_sr[s]), sr_idx=sr_idx[s], sr_vals=sr_vals[s],
+            )
+
+    stats = dict(tiles=0, fallbacks=0, sr_pairs=0)
+    for bi, bj in panel_pair_order(nb, nb):
+        res = results[(bi, bj)]
+        stats["tiles"] += 1
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        done = emit_tile_extract(
+            res, B=B,
+            pos_f=ranked.pos[f_sl], pos_t=ranked.pos[t_sl],
+            pnt_f=paint_sorted[f_sl], pnt_t=paint_sorted[t_sl],
+            g=g, sr_dist=sr_dist, lr_prob=lr_prob, K=K,
+            expected_sr=sr_counts[(bi, bj)],
+            sr_links=sr_links, lr_rows_sink=lr_rows_sink,
+        )
+        if done:
+            stats["sr_pairs"] += res.n_sr
+        else:
+            stats["fallbacks"] += 1
+            _fallback_full_tile(
+                ranked, valid, paint_sorted, bi, bj,
+                w32_dev, wparts_dev, neff_dev,
+                g, sr_dist, lr_prob, sr_links, lr_rows_sink,
+            )
+            stats["sr_pairs"] += sr_counts[(bi, bj)]
+
+    if verbose:
+        print(
+            f"SPMD sweep: {stats['tiles']} tiles over {nsh} device(s), "
+            f"{stats['sr_pairs']} sr pairs, {stats['fallbacks']} fallbacks"
+        )
+    return stats
+
+
+def _fallback_full_tile(
+    ranked, valid, paint_sorted, bi, bj, w32_dev, wparts_dev, neff_dev,
+    g, sr_dist, lr_prob, sr_links, lr_rows_sink,
+):
+    """Exact full-tile extraction for tiles the bounded extraction cannot
+    certify (same program as FastTileRunner's full-transfer fallback)."""
+    import jax.numpy as jnp
+
+    from ldweaver_tpu.core.sweep import _emit_pairs
+
+    B = ranked.block
+    f_sl = slice(bi * B, (bi + 1) * B)
+    t_sl = slice(bj * B, (bj + 1) * B)
+    r_f = ranked.r[f_sl]
+    r_t = ranked.r[t_sl]
+    pure = bool(ranked.block_pure[bi]) and bool(ranked.block_pure[bj])
+    fn = _build_rank_tile(B, B, int(r_f.max()), int(r_t.max()), 3, pure=pure)
+    slab_f = jnp.asarray(np.ascontiguousarray(ranked.rank_codes[:, f_sl].T))
+    slab_t = jnp.asarray(np.ascontiguousarray(ranked.rank_codes[:, t_sl].T))
+    mi = np.asarray(
+        fn(slab_f, slab_t, w32_dev, wparts_dev,
+           np.asarray(r_f, np.float32), np.asarray(r_t, np.float32),
+           neff_dev),
+        np.float64,
+    )
+    val_f = valid[f_sl]
+    val_t = valid[t_sl]
+    if bi == bj:
+        fii, fjj = np.tril_indices(B, -1)
+        fii = fii.astype(np.int32)
+        fjj = fjj.astype(np.int32)
+    else:
+        fii = np.repeat(np.arange(B, dtype=np.int32), B)
+        fjj = np.tile(np.arange(B, dtype=np.int32), B)
+    okm = val_f[fii] & val_t[fjj]
+    fii, fjj = fii[okm], fjj[okm]
+    if fii.size:
+        _emit_pairs(
+            fii, fjj, mi[fii, fjj],
+            ranked.pos[f_sl], ranked.pos[t_sl],
+            paint_sorted[f_sl], paint_sorted[t_sl],
+            g, sr_dist, lr_prob, sr_links, lr_rows_sink,
+        )

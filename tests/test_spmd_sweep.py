@@ -1,0 +1,141 @@
+"""SPMD full-output sweep (parallel/spmd_sweep.py): one sharded dispatch
+per rank bucket must produce the COMPLETE BLK5 output — sr_links.tsv and
+lr_links.tsv byte-identical to the host-driven FastTileRunner path —
+on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from ldweaver_tpu.core.cds import CdsVar, Clusters
+from ldweaver_tpu.core.sweep import perform_mi_computation
+
+
+def _cds_var(sd, nclust=2, seed=0):
+    rng = np.random.default_rng(seed)
+    paint = rng.integers(1, nclust + 1, size=sd.nsnp).astype(np.int64)
+    return CdsVar(
+        var_estimate=np.zeros(1), cds_start=np.zeros(1, np.int64),
+        cds_end=np.zeros(1, np.int64),
+        clusts=Clusters(np.array([1]), 0.0), paint=paint,
+        ref=np.array(["A"] * sd.nsnp), alt=np.array([""] * sd.nsnp),
+        allele_table=sd.acgtn_table, nclust=nclust,
+    )
+
+
+def _run(sd, hdw, cds_var, tmp_path, tag, backend, **kw):
+    lr = str(tmp_path / f"lr_{tag}.tsv")
+    sr = str(tmp_path / f"sr_{tag}.tsv")
+    links = perform_mi_computation(
+        sd, hdw, cds_var, lr_save_path=lr, sr_save_path=sr,
+        plt_folder=None, sr_dist=2000, srp_cutoff=3.0,
+        backend=backend, max_blk_sz=1000, verbose=False, **kw,
+    )
+    import os
+
+    lr_txt = open(lr).read() if os.path.exists(lr) else ""
+    return links, open(sr).read(), lr_txt
+
+
+def test_spmd_matches_fast_byte_identical(toy_snp_data, toy_hdw, tmp_path):
+    sd = toy_snp_data
+    cds_var = _cds_var(sd)
+    fast, sr_f, lr_f = _run(sd, toy_hdw, cds_var, tmp_path, "fast", "fast")
+    spmd, sr_s, lr_s = _run(sd, toy_hdw, cds_var, tmp_path, "spmd", "spmd")
+    assert lr_s == lr_f  # byte-identical, including row order
+    assert sr_s == sr_f
+    assert np.array_equal(spmd.pos1, fast.pos1)
+    assert np.array_equal(spmd.MI, fast.MI)
+    assert np.array_equal(spmd.srp_max, fast.srp_max)
+    assert np.array_equal(spmd.ARACNE, fast.ARACNE)
+
+
+def test_spmd_device_count_invariant(toy_snp_data, toy_hdw, tmp_path):
+    """Sharding the pair list over 8 devices vs 1 must not change a byte
+    (pure data parallelism over the pair space)."""
+    sd = toy_snp_data
+    cds_var = _cds_var(sd, seed=3)
+    _, sr1, lr1 = _run(
+        sd, toy_hdw, cds_var, tmp_path, "d1", "spmd", n_devices=1
+    )
+    _, sr8, lr8 = _run(
+        sd, toy_hdw, cds_var, tmp_path, "d8", "spmd", n_devices=8
+    )
+    assert sr8 == sr1
+    assert lr8 == lr1
+
+
+def test_spmd_sr_only(toy_snp_data, toy_hdw, tmp_path):
+    sd = toy_snp_data
+    cds_var = _cds_var(sd, nclust=1, seed=1)
+    fast, sr_f, _ = _run(
+        sd, toy_hdw, cds_var, tmp_path, "fast_sr", "fast",
+        perform_sr_analysis_only=True,
+    )
+    spmd, sr_s, _ = _run(
+        sd, toy_hdw, cds_var, tmp_path, "spmd_sr", "spmd",
+        perform_sr_analysis_only=True,
+    )
+    assert sr_s == sr_f
+    assert np.array_equal(spmd.MI, fast.MI)
+
+
+def test_spmd_fallback_on_unselective_retention(toy_snp_data, toy_hdw,
+                                                tmp_path):
+    """lr_prob == 0 (retain everything) keeps every LR pair; tiles whose
+    candidate count exceeds the top-K cap must fall back to the exact
+    full-tile path and still match the fast path byte-for-byte."""
+    from ldweaver_tpu.parallel.spmd_sweep import spmd_blk5_sweep
+    from ldweaver_tpu.core.sweep import FastTileRunner
+    from ldweaver_tpu.parallel.fast_sweep import stratify
+
+    sd = toy_snp_data
+    hdw = toy_hdw
+    neff = float(hdw.sum())
+    paint = np.ones(sd.nsnp, dtype=np.int64)
+    retain, approx = 1e9, 1000.0  # lr_prob = 0 -> keep all LR pairs
+
+    def run_spmd(topk_cap):
+        sr_links = [[]]
+        rows = []
+
+        def sink(p1, p2, c1, c2, ln, mi):
+            rows.extend(zip(p1.tolist(), p2.tolist(), mi.tolist()))
+
+        stats = spmd_blk5_sweep(
+            sd, hdw, paint, neff, 2000, retain, approx, sr_links, sink,
+            block=512, topk_cap=topk_cap, verbose=False,
+        )
+        return rows, sr_links, stats
+
+    def run_fast():
+        sr_links = [[]]
+        rows = []
+
+        def sink(p1, p2, c1, c2, ln, mi):
+            rows.extend(zip(p1.tolist(), p2.tolist(), mi.tolist()))
+
+        ranked = stratify(sd.codes, sd.acgtn_table, sd.pos, sd.r, 512)
+        paint_sorted = np.concatenate(
+            [paint[ranked.perm],
+             np.zeros(ranked.pos.size - sd.nsnp, np.int64)]
+        )
+        valid = np.arange(ranked.pos.size) < sd.nsnp
+        nb = ranked.rank_codes.shape[1] // 512
+        runner = FastTileRunner(
+            ranked, paint_sorted, valid, hdw, neff, sd.g, 2000,
+            retain, approx, sr_links, transfer="full",
+        )
+        for bi in range(nb):
+            for bj in range(bi, nb):
+                runner.finish(runner.dispatch(bi, bj), sink)
+        return rows, sr_links
+
+    # tiny cap: every tile with > 64 LR pairs saturates -> fallback
+    rows_sat, sr_sat, stats = run_spmd(topk_cap=64)
+    assert stats["fallbacks"] >= 1
+    rows_fast, sr_fast = run_fast()
+    assert rows_sat == rows_fast  # same rows, same order
+    key = lambda lst: [  # noqa: E731
+        (t.pos1.tolist(), t.MI.tolist()) for parts in lst for t in parts
+    ]
+    assert key(sr_sat) == key(sr_fast)
