@@ -45,7 +45,15 @@ def build_parser():
     run.add_argument("--no-length-validation", action="store_true")
     run.add_argument("--snpeff-jar", dest="snpeff_jar_path")
     run.add_argument("--backend", default="fast",
-                     choices=["jax", "numpy", "pallas", "fast"])
+                     choices=["jax", "numpy", "pallas", "fast", "spmd"])
+    run.add_argument("--coordinator", default=None,
+                     help="multi-process bring-up: coordinator address "
+                          "(host:port); auto-detected on TPU pods when "
+                          "--num-processes is given without it")
+    run.add_argument("--num-processes", type=int, default=None,
+                     help="total process count for multi-host execution")
+    run.add_argument("--process-id", type=int, default=None,
+                     help="this process's id in [0, num_processes)")
     run.add_argument("--device-budget-bytes", type=int, default=None,
                      help="HBM cap for the fast sweep's slab working set; "
                           "slabs stream through an LRU cache when the SNP "
@@ -84,6 +92,18 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "run":
+        # multi-process bring-up FIRST — before anything touches the
+        # backend (parallel/multihost.py docstring)
+        if getattr(args, "num_processes", None) or getattr(
+            args, "coordinator", None
+        ):
+            from ldweaver_tpu.parallel.multihost import initialize_multihost
+
+            initialize_multihost(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
         from ldweaver_tpu.config import LDWeaverConfig
         from ldweaver_tpu.pipeline import ldweaver
 

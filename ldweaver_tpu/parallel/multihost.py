@@ -27,24 +27,25 @@ def initialize_multihost(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """jax.distributed bring-up (no-op if already initialised or single
-    process).  On TPU pods arguments are auto-detected from the metadata
-    environment; pass them explicitly elsewhere."""
+    """jax.distributed bring-up.  MUST run before anything touches the
+    JAX backend (jax.devices(), any array op): `jax.distributed.initialize`
+    raises if the backend is already live, and on a real pod a
+    backend-first ordering silently degrades to single-process.  On TPU
+    pods the arguments are auto-detected from the metadata environment;
+    pass them explicitly elsewhere.  Errors propagate — a failed bring-up
+    on a pod must abort, not limp along single-process."""
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialised
-    try:
-        if coordinator_address is None:
-            jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-    except (RuntimeError, ValueError):
-        pass  # single-process run
+    if jax.distributed.is_initialized():
+        return
+    if coordinator_address is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
 
 
 def is_writer() -> bool:
