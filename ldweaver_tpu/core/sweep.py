@@ -885,6 +885,20 @@ def perform_mi_computation(
             sr_links, max_slabs=max_slabs, devices=devices,
         )
         depth = max(1, pipeline_depth) * len(runner.devices)
+
+        def depth_limit() -> int:
+            """In-flight tile cap.  Extract-mode tiles pin only O(P_sr+K)
+            bytes, but full-transfer tiles (explicit transfer='full' or
+            post-demotion) each pin a BxB f32 output; under a streaming
+            budget a deep pipeline of those can blow plan_budget's
+            workspace reserve, so clamp to what ~20% of the budget holds
+            (checked per iteration: demotion can flip the mode mid-run)."""
+            if device_budget_bytes is None or runner._mode() != "full":
+                return depth
+            tile_bytes = ranked.block * ranked.block * 4
+            cap = max(1, int(device_budget_bytes * 0.2 / tile_bytes))
+            return min(depth, cap * len(runner.devices))
+
         k = 0
         npairs_total = nb * (nb + 1) // 2
         queue: deque = deque()
@@ -912,7 +926,7 @@ def perform_mi_computation(
                 k += 1
                 continue
             queue.append((key, runner.dispatch(bi, bj), time.time()))
-            if len(queue) >= depth:
+            while len(queue) >= depth_limit():
                 finish_one()
         while queue:
             finish_one()

@@ -518,8 +518,10 @@ class FastSweepState:
     nseq: int
     g: int
     streaming: bool = False
-    slab_cache: object = None
+    slab_cache: object = None  # single-device alias (first of slab_caches)
     panel: int = 0
+    slab_caches: list = None  # per-device caches (streaming round-robin)
+    stream_devices: list = None
 
 
 def prepare_fast_sweep(
@@ -574,6 +576,15 @@ def prepare_fast_sweep(
         snp_data.nseq, block, nb, hbm_budget_bytes
     )
     w32, wparts = _wparts(hdw)
+    stream_devices = list(mesh.devices.flat) if streaming else None
+    slab_caches = (
+        [
+            SlabCache(ranked.rank_codes, block, max_slabs, device=d)
+            for d in stream_devices
+        ]
+        if streaming
+        else None
+    )
     return FastSweepState(
         mesh=mesh,
         mesh_key=mesh_key,
@@ -590,10 +601,10 @@ def prepare_fast_sweep(
         nseq=snp_data.nseq,
         g=snp_data.g,
         streaming=streaming,
-        slab_cache=(
-            SlabCache(ranked.rank_codes, block, max_slabs) if streaming else None
-        ),
+        slab_cache=slab_caches[0] if streaming else None,
         panel=panel,
+        slab_caches=slab_caches,
+        stream_devices=stream_devices,
     )
 
 
@@ -758,8 +769,11 @@ def _fast_lr_topk_streaming(
     precision_terms: int = 3,
     merge_chunk: int = 32,
 ):
-    """Slab-streaming fast sweep (single device): panel-ordered tiles fed
-    by the LRU slab cache, chunked device-side top-k folding, one pull."""
+    """Slab-streaming fast sweep: panel-ordered tiles round-robin over the
+    requested devices' per-device LRU slab caches (like FastTileRunner),
+    with per-device chunked top-k folding and one final cross-device
+    merge + pull."""
+    import jax
     import jax.numpy as jnp
 
     from ldweaver_tpu.parallel.slabs import panel_pair_order
@@ -767,39 +781,60 @@ def _fast_lr_topk_streaming(
     ranked = state.ranked
     B = state.block
     nb = ranked.rank_codes.shape[1] // B
-    cache = state.slab_cache
+    caches = state.slab_caches or [state.slab_cache]
+    devices = state.stream_devices or [None]
+    nd = len(caches)
     panel = state.panel
     k_each = min(topk, B * B)
 
-    carry = (
-        jnp.full((topk,), -jnp.inf, jnp.float32),
-        jnp.zeros((topk,), jnp.int32),
-        jnp.zeros((topk,), jnp.int32),
-    )
+    # per-device replicas of the small shared operands
+    consts = [
+        (
+            jax.device_put(np.asarray(state.r_dev), d),
+            jax.device_put(np.asarray(state.pos_dev), d),
+            jax.device_put(np.asarray(state.valid_dev), d),
+            jax.device_put(np.asarray(state.w32_dev), d),
+            jax.device_put(np.asarray(state.wparts_dev), d),
+            jax.device_put(np.float32(state.neff), d),
+        )
+        for d in devices
+    ]
+    carries = [
+        (
+            jax.device_put(np.full((topk,), -np.inf, np.float32), d),
+            jax.device_put(np.zeros((topk,), np.int32), d),
+            jax.device_put(np.zeros((topk,), np.int32), d),
+        )
+        for d in devices
+    ]
     tile_meta: List[Tuple[int, int]] = []
-    pend_vals: List[object] = []
-    pend_idx: List[object] = []
-    pend_tid: List[int] = []
+    pend: List[Tuple[List, List, List]] = [([], [], []) for _ in range(nd)]
 
-    def flush():
-        nonlocal carry, pend_vals, pend_idx, pend_tid
+    def flush(di):
+        pend_vals, pend_idx, pend_tid = pend[di]
         if not pend_vals:
             return
         m = len(pend_vals)
         merge = _build_stream_merge(m, k_each, topk)
         vals = jnp.stack(pend_vals)
         idxs = jnp.stack(pend_idx)
-        tids = jnp.asarray(np.repeat(np.asarray(pend_tid, np.int32), k_each))
-        carry = merge(*carry, vals, tids, idxs)
-        pend_vals, pend_idx, pend_tid = [], [], []
+        tids = jax.device_put(
+            np.repeat(np.asarray(pend_tid, np.int32), k_each), devices[di]
+        )
+        carries[di] = merge(*carries[di], vals, tids, idxs)
+        pend[di] = ([], [], [])
 
     cur_panel = -1
+    rr = 0
     for bi, bj in panel_pair_order(nb, panel):
         p = bi // panel
         if p != cur_panel:
             cur_panel = p
-            cache.unpin()
-            cache.pin(range(p * panel, min((p + 1) * panel, nb)))
+            for c in caches:
+                c.unpin()
+                c.pin(range(p * panel, min((p + 1) * panel, nb)))
+        di = rr % nd
+        rr += 1
         Rf = int(ranked.block_rmax[bi])
         Rt = int(ranked.block_rmax[bj])
         fn = _build_stream_tile(
@@ -807,26 +842,33 @@ def _fast_lr_topk_streaming(
             int(sr_dist), int(state.g),
             pure=bool(ranked.block_pure[bi]) and bool(ranked.block_pure[bj]),
         )
-        cf = cache.get(bi)
-        ct = cache.get(bj)
+        cf = caches[di].get(bi)
+        ct = caches[di].get(bj)
+        r_d, pos_d, val_d, w32_d, wparts_d, neff_d = consts[di]
         vals, idx = fn(
-            cf, ct, state.r_dev, state.pos_dev, state.valid_dev,
-            jnp.asarray(np.int32(bi * B)), jnp.asarray(np.int32(bj * B)),
-            state.w32_dev, state.wparts_dev, jnp.asarray(state.neff),
-            jnp.asarray(bool(bi == bj)),
+            cf, ct, r_d, pos_d, val_d,
+            np.int32(bi * B), np.int32(bj * B),
+            w32_d, wparts_d, neff_d,
+            np.bool_(bi == bj),
         )
+        pend_vals, pend_idx, pend_tid = pend[di]
         pend_vals.append(vals)
         pend_idx.append(idx)
         pend_tid.append(len(tile_meta))
         tile_meta.append((bi, bj))
         if len(pend_vals) >= merge_chunk:
-            flush()
-    flush()
-    cache.unpin()
+            flush(di)
+    for di in range(nd):
+        flush(di)
+    for c in caches:
+        c.unpin()
 
-    mv = np.asarray(carry[0])
-    mt = np.asarray(carry[1]).astype(np.int64)
-    mx = np.asarray(carry[2]).astype(np.int64)
+    # cross-device merge: pull the nd small carries, combine on host
+    mv = np.concatenate([np.asarray(c[0]) for c in carries])
+    mt = np.concatenate([np.asarray(c[1]) for c in carries]).astype(np.int64)
+    mx = np.concatenate([np.asarray(c[2]) for c in carries]).astype(np.int64)
+    sel = np.argsort(-mv, kind="stable")[:topk]
+    mv, mt, mx = mv[sel], mt[sel], mx[sel]
     keep = np.isfinite(mv)
     mv, mt, mx = mv[keep], mt[keep], mx[keep]
     meta = np.asarray(tile_meta, np.int64).reshape(-1, 2)
