@@ -380,6 +380,7 @@ class FastTileRunner:
             np.asarray(pos_f, np.int32), np.asarray(pos_t, np.int32),
             np.asarray(val_f), np.asarray(val_t),
             np.asarray([bi, bj], np.int32), np.True_,
+            np.float32(1.0 if self.lr_prob is None else self.lr_prob),
         )
         return dict(
             kind="extract", bi=bi, bj=bj, outs=outs, expected_sr=cnt, di=di

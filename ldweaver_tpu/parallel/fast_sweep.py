@@ -283,18 +283,22 @@ def _tile_lr_topk(masked, block_f: int, block_t: int, topk: int):
     # identical semantics incl. first-index tie breaking.  Candidates are
     # sparse at scale so one-per-chunk loses nothing.
     C = 128
-    resh = masked.reshape(block_f, block_t // C, C)
+    pad = (-block_t) % C  # non-multiple blocks (round_blk_sz gives 1000s)
+    if pad:
+        masked = jnp.pad(masked, ((0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
+    nch = (block_t + pad) // C
+    resh = masked.reshape(block_f, nch, C)
     c_vals = resh.max(axis=-1)
     c_idx = resh.argmax(axis=-1).astype(jnp.int32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_f, block_t // C), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_f, nch), 0)
     cols = (
-        jax.lax.broadcasted_iota(jnp.int32, (block_f, block_t // C), 1) * C
-        + c_idx
+        jax.lax.broadcasted_iota(jnp.int32, (block_f, nch), 1) * C + c_idx
     )
-    flat = rows * block_t + cols
-    vals, sel = jax.lax.top_k(
-        c_vals.ravel(), min(topk, block_f * (block_t // C))
-    )
+    # pad-only chunks are all -inf; clamp their column so the flat index
+    # stays in range (the -inf value is filtered by every consumer)
+    flat = rows * block_t + jnp.minimum(cols, block_t - 1)
+    vals, sel = jax.lax.top_k(c_vals.ravel(), min(topk, block_f * nch))
     return vals, flat.ravel()[sel]
 
 

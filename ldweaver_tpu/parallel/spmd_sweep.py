@@ -52,7 +52,6 @@ from ldweaver_tpu.parallel.fast_sweep import (
     _MESH_STORE,
     _build_rank_tile,
     _rank_tile_mi,
-    _tile_lr_topk,
     _wparts,
     stratify,
 )
@@ -93,7 +92,7 @@ def _next_pow2(n: int, lo: int = 8) -> int:
 # --------------------------------------------------------------------------
 def _extract_body(
     codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t, pair, pvalid,
-    w32, wparts, neff, *,
+    w32, wparts, neff, prob, *,
     block: int, sr_dist: int, g: int, K: int, P_sr: int,
     Rf: int, Rt: int, terms: int, pure: bool,
 ):
@@ -123,22 +122,36 @@ def _extract_body(
     sr_idx = sr_idx.astype(jnp.int32)
     sr_vals = mi.ravel()[sr_idx]
 
-    # ---- LR: exact two-stage top-K + exactness certificate
+    # ---- LR: exact two-stage top-K + exactness certificate.  Unlike the
+    # LR-only sweep's free chunked-max stage (1 candidate per 128-chunk —
+    # too lossy for the ~(1-prob)*B^2 retained candidates of a tile),
+    # extraction uses a per-row top-k whose capacity matches the expected
+    # per-row candidate load (K/B <= 2 at the defaults).
     neg = jnp.where(lr_ok, mi, -jnp.inf)
     n_lr = lr_ok.sum().astype(jnp.int32)
-    vals, idx = _tile_lr_topk(neg, block, block, K)
-    kth = vals[-1]
-    above_k = (neg >= kth) & lr_ok
-    if block <= 1024:
-        cap = min(64, block, K)  # _tile_lr_topk row stage
-        tot_max = lr_ok.sum(axis=1).max()
-        abv_max = above_k.sum(axis=1).max()
-    else:
-        cap = 1  # _tile_lr_topk chunked-max stage
-        resh = lambda m: m.reshape(block, block // 128, 128)  # noqa: E731
-        tot_max = resh(lr_ok).sum(axis=-1).max()
-        abv_max = resh(above_k).sum(axis=-1).max()
-    exact = (tot_max <= cap) | (jnp.isfinite(kth) & (abv_max <= cap))
+    k_row = min(64, block, K) if block <= 1024 else min(16, K)
+    row_vals, row_idx = jax.lax.top_k(neg, k_row)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, k_row), 0)
+    flat = rows * block + row_idx
+    n_out = min(K, block * k_row)
+    vals, sel = jax.lax.top_k(row_vals.ravel(), n_out)
+    idx = flat.ravel()[sel]
+    # certificate at the NEEDED depth: the host only reads ranks down to
+    # i_lo = n_lr-1-floor((n_lr-1)*prob), so stage 1 must be lossless for
+    # values >= the candidate at rank i_cert = i_lo + margin (a kth-depth
+    # certificate is far too strict: high-LD rows concentrate dozens of
+    # TOP-K entries, but rarely dozens of the ~(1-prob)*B^2 KEPT ones).
+    # vstar from the possibly-lossy array only underestimates, so the
+    # check is conservative.  +8 covers the f32-vs-f64 floor drift.
+    n_lr_f = n_lr.astype(jnp.float32)
+    i_cert = n_lr - jnp.floor((n_lr_f - 1.0) * prob).astype(jnp.int32) + 8
+    i_cert = jnp.clip(i_cert, 0, n_out - 1)
+    i_cert = jnp.minimum(i_cert, jnp.maximum(n_lr - 1, 0))
+    vstar = vals[i_cert]
+    above = (neg >= vstar) & lr_ok
+    tot_max = lr_ok.sum(axis=1).max()
+    abv_max = above.sum(axis=1).max()
+    exact = (tot_max <= k_row) | (jnp.isfinite(vstar) & (abv_max <= k_row))
     return (n_lr, exact, vals, idx.astype(jnp.int32), n_sr, sr_idx, sr_vals)
 
 
@@ -154,14 +167,14 @@ def _build_tile_extract(
     import jax.numpy as jnp
 
     def fn(codes_f, codes_t, w32, wparts, r_f, r_t, neff,
-           pos_f, pos_t, val_f, val_t, pair, pvalid):
-        # pvalid is traced (not a folded constant) so the compiled body
-        # graph is IDENTICAL to the SPMD scan body's — see module
+           pos_f, pos_t, val_f, val_t, pair, pvalid, prob):
+        # pvalid/prob are traced (not folded constants) so the compiled
+        # body graph is IDENTICAL to the SPMD scan body's — see module
         # docstring on fusion-context-dependent codegen
         def body(carry, _):
             return carry, _extract_body(
                 codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t,
-                pair, pvalid, w32, wparts, neff,
+                pair, pvalid, w32, wparts, neff, prob,
                 block=block, sr_dist=sr_dist, g=g, K=K, P_sr=P_sr,
                 Rf=Rf, Rt=Rt, terms=terms, pure=pure,
             )
@@ -193,7 +206,8 @@ def _build_spmd_bucket_sweep(
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    def local(codes, wparts, w32, r, pos, valid, pairs, pair_valid, neff):
+    def local(codes, wparts, w32, r, pos, valid, pairs, pair_valid, neff,
+              prob):
         def body(carry, inp):
             pair, pvalid = inp
             fs = pair[0] * block
@@ -208,7 +222,7 @@ def _build_spmd_bucket_sweep(
             val_t = jax.lax.dynamic_slice(valid, (ts,), (block,))
             return carry, _extract_body(
                 codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t,
-                pair, pvalid, w32, wparts, neff,
+                pair, pvalid, w32, wparts, neff, prob,
                 block=block, sr_dist=sr_dist, g=g, K=K, P_sr=P_sr,
                 Rf=Rf, Rt=Rt, terms=terms, pure=pure,
             )
@@ -220,7 +234,8 @@ def _build_spmd_bucket_sweep(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), P("b"), P("b"), P()),
+            in_specs=(P(), P(), P(), P(), P(), P(), P("b"), P("b"), P(),
+                      P()),
             out_specs=(P("b"),) * 7,
         )
     )
@@ -250,7 +265,7 @@ def lr_threshold_from_topk(n_lr: int, vals: np.ndarray, lr_prob: float,
     h = (n - 1) * lr_prob
     lo = int(math.floor(h))
     i_lo = n - 1 - lo  # rank from top of x_asc[lo]
-    ncand = min(n, K)
+    ncand = min(n, K, vals.shape[0])
     if i_lo > ncand - 1:
         return None
     vals64 = vals.astype(np.float64)
@@ -292,7 +307,9 @@ def emit_tile_extract(
         q = lr_threshold_from_topk(res.n_lr, res.vals, lr_prob, K)
         if q is None:
             return False
-        cand = res.vals[: min(res.n_lr, K)].astype(np.float64)
+        cand = res.vals[: min(res.n_lr, K, res.vals.shape[0])].astype(
+            np.float64
+        )
         kept_sel = np.flatnonzero(cand >= q)
 
     if kept_sel is not None and kept_sel.size:
@@ -415,6 +432,7 @@ def spmd_blk5_sweep(
             outs = fn(
                 codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
                 jnp.asarray(pairs), jnp.asarray(pair_valid), neff_dev,
+                jnp.asarray(np.float32(1.0 if lr_prob is None else lr_prob)),
             )
             pending.append((plist, outs))
 

@@ -79,6 +79,68 @@ def test_spmd_sr_only(toy_snp_data, toy_hdw, tmp_path):
     assert np.array_equal(spmd.MI, fast.MI)
 
 
+def test_extract_non_128_multiple_large_block():
+    """round_blk_sz yields 1000-multiples (e.g. 4000), which are NOT
+    128-multiples; the chunked stage-1 reduction and the certificate must
+    pad with -inf instead of failing to reshape (found by the 32k-SNP
+    TPU bench trial)."""
+    from ldweaver_tpu.core.sweep import FastTileRunner
+    from ldweaver_tpu.parallel.fast_sweep import stratify
+    from tests.test_stream_sweep import _synth
+
+    sd, w = _synth(nsnp=4000, nseq=48, g=2_000_000, seed=5)
+    block = 2000  # > 1024 (chunked stage) and 2000 % 128 != 0
+    neff = float(w.sum())
+    paint = np.ones(sd.nsnp, np.int64)
+    ranked = stratify(sd.codes, sd.acgtn_table, sd.pos, sd.r, block)
+    paint_sorted = np.concatenate(
+        [paint[ranked.perm], np.zeros(ranked.pos.size - sd.nsnp, np.int64)]
+    )
+    valid = np.arange(ranked.pos.size) < sd.nsnp
+    nb = ranked.rank_codes.shape[1] // block
+
+    def run(transfer):
+        sr_links = [[]]
+        rows = []
+
+        def sink(p1, p2, c1, c2, ln, mi):
+            rows.extend(zip(p1.tolist(), p2.tolist(), mi.tolist()))
+
+        # selective retention (~250 kept/tile << K) so extraction need
+        # not fall back; unselective retention is covered by
+        # test_spmd_fallback_on_unselective_retention
+        runner = FastTileRunner(
+            ranked, paint_sorted, valid, w, neff, sd.g, 20000,
+            500.0, 5_000_000.0, sr_links, transfer=transfer,
+        )
+        for bi in range(nb):
+            for bj in range(bi, nb):
+                runner.finish(runner.dispatch(bi, bj), sink)
+        srk = sorted(
+            (int(a), int(b), float(m))
+            for parts in sr_links for t in parts
+            for a, b, m in zip(t.pos1, t.pos2, t.MI)
+        )
+        return sorted(rows), srk, runner
+
+    rows_e, sr_e, run_e = run("extract")
+    rows_f, sr_f, _ = run("full")
+    assert run_e.fallbacks == 0  # certificate held: no reshapes, no falls
+    assert len(rows_f) > 0 and len(sr_f) > 0
+    # extract vs full are DIFFERENT compiled programs, so MI agrees only
+    # to f32 ulp (byte-identity holds extract<->extract across drivers);
+    # link SETS and per-link values must match within 1 ulp of the
+    # epilogue accumulator (~2e-7)
+    assert [r[:2] for r in rows_e] == [r[:2] for r in rows_f]
+    np.testing.assert_allclose(
+        [r[2] for r in rows_e], [r[2] for r in rows_f], rtol=0, atol=3e-7
+    )
+    assert [s[:2] for s in sr_e] == [s[:2] for s in sr_f]
+    np.testing.assert_allclose(
+        [s[2] for s in sr_e], [s[2] for s in sr_f], rtol=0, atol=3e-7
+    )
+
+
 def test_spmd_fallback_on_unselective_retention(toy_snp_data, toy_hdw,
                                                 tmp_path):
     """lr_prob == 0 (retain everything) keeps every LR pair; tiles whose
