@@ -135,9 +135,10 @@ def _snp_data(codes, pos, uqe, r):
 
 def bench_pipeline(nsnp, nseq):
     """The user-visible production number: perform_mi_computation with
-    backend="fast" end-to-end — on-device extract transfers, host link
-    emission, background model, ARACNE, sr/lr TSVs (VERDICT round-1
-    weak #1: the kernel ceiling is not the user-visible number)."""
+    backend="spmd" end-to-end — one sharded dispatch per rank bucket
+    (per-BUCKET device pulls; the per-tile pipelined runner pays the
+    relay's 0.5-2 s pull latency hundreds of times), host link emission,
+    background model, ARACNE, sr/lr TSVs."""
     import tempfile
 
     from ldweaver_tpu.core.cds import CdsVar, Clusters
@@ -161,7 +162,7 @@ def bench_pipeline(nsnp, nseq):
             lr_save_path=f"{td}/lr_links.tsv",
             sr_save_path=f"{td}/sr_links.tsv",
             plt_folder=None, sr_dist=SR_DIST, lr_retain_links=1e6,
-            max_blk_sz=BLOCK, srp_cutoff=3.0, backend="fast",
+            max_blk_sz=BLOCK, srp_cutoff=3.0, backend="spmd",
             verbose=False,
         )
         wall = time.time() - t0

@@ -320,10 +320,16 @@ class FastTileRunner:
             return "summary"
         return "extract"  # 'auto' / 'extract'
 
+    def _extract_dims(self):
+        """(K, k_row) sized from the retention probability — shared with
+        the SPMD driver so both compile identical extraction programs."""
+        from ldweaver_tpu.parallel.spmd_sweep import extract_dims
+
+        return extract_dims(self.ranked.block, self.lr_prob)
+
     @property
     def _K(self) -> int:
-        B = self.ranked.block
-        return 1 if self.lr_prob is None else int(min(self.topk, B * B))
+        return self._extract_dims()[0]
 
     def pin_panel(self, rows) -> None:
         rows = list(rows)
@@ -348,12 +354,25 @@ class FastTileRunner:
             return self._dispatch_summary(bi, bj, slab_f, slab_t, di)
         return self._dispatch_full(bi, bj, slab_f, slab_t, di)
 
+    def _sr_counts(self):
+        """Lazily computed exact SR pair counts per tile + ONE global pow2
+        cap (the cap is part of the extract compile key; a single cap
+        keeps the program count at one per (Rf, Rt, pure), matching the
+        SPMD bucket sweep)."""
+        if getattr(self, "_sr_counts_cache", None) is None:
+            from ldweaver_tpu.parallel.spmd_sweep import (
+                _next_pow2,
+                sr_pair_counts,
+            )
+
+            counts = sr_pair_counts(
+                self.ranked, self.valid, self.g, self.sr_dist
+            )
+            self._sr_counts_cache = (counts, _next_pow2(int(counts.max())))
+        return self._sr_counts_cache
+
     def _dispatch_extract(self, bi, bj, slab_f, slab_t, di=0) -> dict:
-        from ldweaver_tpu.parallel.spmd_sweep import (
-            _build_tile_extract,
-            _next_pow2 as _sr_pow2,
-            tile_sr_count,
-        )
+        from ldweaver_tpu.parallel.spmd_sweep import _build_tile_extract
 
         ranked = self.ranked
         B = ranked.block
@@ -365,11 +384,11 @@ class FastTileRunner:
         val_t = self.valid[t_sl]
         r_f = ranked.r[f_sl]
         r_t = ranked.r[t_sl]
-        cnt = tile_sr_count(
-            pos_f[val_f], pos_t[val_t], self.g, self.sr_dist, bi == bj
-        )
+        counts, cap = self._sr_counts()
+        cnt = int(counts[bi, bj])
+        K, k_row = self._extract_dims()
         fn = _build_tile_extract(
-            B, int(self.sr_dist), int(self.g), self._K, _sr_pow2(cnt),
+            B, int(self.sr_dist), int(self.g), K, k_row, cap,
             int(r_f.max()), int(r_t.max()), 3, pure=self._pure(bi, bj),
         )
         w32_d, wparts_d, neff_d = self._consts[di]
@@ -728,6 +747,11 @@ def perform_mi_computation(
     (None = all local devices; outputs are device-count invariant).
     """
     t000 = time.time()
+    # the reference rounds the block size to a 1000-multiple (:69); that
+    # quirk only shapes the COMPAT path's block decomposition.  The
+    # fast/spmd tile size is an internal knob where 4096 (a pow2, the
+    # measured v5e optimum) must not degrade to 4000.
+    fast_blk = min(max_blk_sz, 1 << int(np.ceil(np.log2(max(snp_data.nsnp, 2)))))
     max_blk_sz = round_blk_sz(max_blk_sz)  # :69
     blocks = make_blocks(snp_data.nsnp, max_blk_sz)
     nclust = cds_var.nclust
@@ -828,7 +852,6 @@ def perform_mi_computation(
         # R/BacGWES.R:382-385): checkpoint_dir is ignored here.
         from ldweaver_tpu.parallel.spmd_sweep import spmd_blk5_sweep
 
-        blk = min(max_blk_sz, 1 << int(np.ceil(np.log2(max(snp_data.nsnp, 2)))))
         spmd_blk5_sweep(
             snp_data,
             np.asarray(hdw, dtype=np.float64),
@@ -839,7 +862,7 @@ def perform_mi_computation(
             None if perform_sr_analysis_only else lr_links_approx,
             sr_links,
             lr_sink,
-            block=blk,
+            block=fast_blk,
             n_devices=n_devices,
             perform_sr_only=perform_sr_analysis_only,
             verbose=verbose,
@@ -856,7 +879,7 @@ def perform_mi_computation(
         from ldweaver_tpu.parallel.fast_sweep import stratify
         from ldweaver_tpu.parallel.slabs import panel_pair_order, plan_budget
 
-        blk = min(max_blk_sz, 1 << int(np.ceil(np.log2(max(snp_data.nsnp, 2)))))
+        blk = fast_blk
         ranked = stratify(
             snp_data.codes, snp_data.acgtn_table, snp_data.pos, snp_data.r, blk
         )

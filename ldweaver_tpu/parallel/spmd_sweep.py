@@ -83,8 +83,45 @@ def tile_sr_count(pos_f: np.ndarray, pos_t: np.ndarray, g: int,
     return int(_circular_window_counts(pos_f, pos_t, g, sr_dist).sum())
 
 
+def sr_pair_counts(ranked, valid: np.ndarray, g: int,
+                   sr_dist: int) -> np.ndarray:
+    """[nb, nb] exact SR pair counts for every upper-triangular tile."""
+    B = ranked.block
+    nb = ranked.rank_codes.shape[1] // B
+    pos_blocks = [
+        ranked.pos[i * B : (i + 1) * B][valid[i * B : (i + 1) * B]]
+        for i in range(nb)
+    ]
+    counts = np.zeros((nb, nb), np.int64)
+    for i in range(nb):
+        for j in range(i, nb):
+            counts[i, j] = tile_sr_count(
+                pos_blocks[i], pos_blocks[j], g, sr_dist, i == j
+            )
+    return counts
+
+
 def _next_pow2(n: int, lo: int = 8) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+def extract_dims(block: int, lr_prob: Optional[float],
+                 k_max: int = 1 << 18) -> Tuple[int, int]:
+    """(K, k_row) for the extraction top-K, sized from the retention
+    probability: a tile keeps ~m = (1-prob)*B^2 candidates, so K must
+    comfortably exceed m (static 8192 forced EVERY tile into the full
+    fallback at 32k SNPs where m ~ 31k) and the stage-1 row capacity must
+    cover the per-row Poisson load lambda = m/B plus a 6-sigma tail.
+    Clamped at k_max; denser retention saturates into the exact full-tile
+    fallback (and demotion) by design."""
+    if lr_prob is None:
+        return 1, 1
+    m = (1.0 - lr_prob) * block * block
+    lam = m / block
+    k_row = int(min(block, max(16, math.ceil(lam + 6.0 * math.sqrt(lam + 1.0) + 8.0))))
+    K = int(max(4096, 2.0 * m + 1024.0))
+    K = min(K, block * k_row, block * block, k_max)
+    return K, k_row
 
 
 # --------------------------------------------------------------------------
@@ -93,7 +130,7 @@ def _next_pow2(n: int, lo: int = 8) -> int:
 def _extract_body(
     codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t, pair, pvalid,
     w32, wparts, neff, prob, *,
-    block: int, sr_dist: int, g: int, K: int, P_sr: int,
+    block: int, sr_dist: int, g: int, K: int, k_row: int, P_sr: int,
     Rf: int, Rt: int, terms: int, pure: bool,
 ):
     """One tile -> fixed-shape link extraction.  Compiled identically by
@@ -129,7 +166,6 @@ def _extract_body(
     # per-row candidate load (K/B <= 2 at the defaults).
     neg = jnp.where(lr_ok, mi, -jnp.inf)
     n_lr = lr_ok.sum().astype(jnp.int32)
-    k_row = min(64, block, K) if block <= 1024 else min(16, K)
     row_vals, row_idx = jax.lax.top_k(neg, k_row)
     rows = jax.lax.broadcasted_iota(jnp.int32, (block, k_row), 0)
     flat = rows * block + row_idx
@@ -157,7 +193,7 @@ def _extract_body(
 
 @functools.lru_cache(maxsize=None)
 def _build_tile_extract(
-    block: int, sr_dist: int, g: int, K: int, P_sr: int,
+    block: int, sr_dist: int, g: int, K: int, k_row: int, P_sr: int,
     Rf: int, Rt: int, terms: int, pure: bool,
 ):
     """Single-tile extraction for the pipelined runner: a length-1 scan of
@@ -175,8 +211,8 @@ def _build_tile_extract(
             return carry, _extract_body(
                 codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t,
                 pair, pvalid, w32, wparts, neff, prob,
-                block=block, sr_dist=sr_dist, g=g, K=K, P_sr=P_sr,
-                Rf=Rf, Rt=Rt, terms=terms, pure=pure,
+                block=block, sr_dist=sr_dist, g=g, K=K, k_row=k_row,
+                P_sr=P_sr, Rf=Rf, Rt=Rt, terms=terms, pure=pure,
             )
         _, ys = jax.lax.scan(body, jnp.int32(0), None, length=1)
         return tuple(y[0] for y in ys)
@@ -192,6 +228,7 @@ def _build_spmd_bucket_sweep(
     sr_dist: int,
     g: int,
     K: int,
+    k_row: int,
     P_sr: int,
     Rf: int,
     Rt: int,
@@ -223,8 +260,8 @@ def _build_spmd_bucket_sweep(
             return carry, _extract_body(
                 codes_f, codes_t, r_f, r_t, pos_f, pos_t, val_f, val_t,
                 pair, pvalid, w32, wparts, neff, prob,
-                block=block, sr_dist=sr_dist, g=g, K=K, P_sr=P_sr,
-                Rf=Rf, Rt=Rt, terms=terms, pure=pure,
+                block=block, sr_dist=sr_dist, g=g, K=K, k_row=k_row,
+                P_sr=P_sr, Rf=Rf, Rt=Rt, terms=terms, pure=pure,
             )
 
         _, ys = jax.lax.scan(body, jnp.int32(0), (pairs, pair_valid))
@@ -349,7 +386,7 @@ def spmd_blk5_sweep(
     block: int,
     n_devices: Optional[int] = None,
     perform_sr_only: bool = False,
-    topk_cap: int = 8192,
+    topk_cap: int = 1 << 18,
     verbose: bool = True,
 ) -> Dict[str, int]:
     """Run BLK5's sweep as ONE SPMD dispatch per (Rf, Rt, pure, P_cap)
@@ -382,25 +419,22 @@ def spmd_blk5_sweep(
         if (perform_sr_only or lr_links_approx is None)
         else max(0.0, 1.0 - lr_retain_links / lr_links_approx)
     )
-    K = 1 if lr_prob is None else int(min(topk_cap, B * B))
+    K, k_row = extract_dims(B, lr_prob, k_max=topk_cap)
 
-    # exact SR counts + per-tile pow2 caps (the cap is part of the compile
-    # key, so it must match the pipelined driver's per-tile choice)
-    pos_blocks = [
-        ranked.pos[i * B : (i + 1) * B][valid[i * B : (i + 1) * B]]
-        for i in range(nb)
-    ]
-    sr_counts: Dict[Tuple[int, int], int] = {}
-    buckets: Dict[Tuple[int, int, bool, int], List[Tuple[int, int]]] = {}
+    # exact SR counts + ONE GLOBAL pow2 cap (part of the compile key: a
+    # single cap means one program per (Rf, Rt, pure) bucket, matching
+    # the pipelined driver — per-tile caps multiplied 20-40 s relay
+    # compiles for no transfer saving, since r-stratification spreads SR
+    # pairs nearly uniformly over tiles)
+    sr_counts = sr_pair_counts(ranked, valid, g, sr_dist)
+    P_cap = _next_pow2(int(sr_counts.max()))
+    buckets: Dict[Tuple[int, int, bool], List[Tuple[int, int]]] = {}
     for i in range(nb):
         for j in range(i, nb):
-            cnt = tile_sr_count(pos_blocks[i], pos_blocks[j], g, sr_dist, i == j)
-            sr_counts[(i, j)] = cnt
             key = (
                 int(ranked.block_rmax[i]),
                 int(ranked.block_rmax[j]),
                 bool(ranked.block_pure[i]) and bool(ranked.block_pure[j]),
-                _next_pow2(cnt),
             )
             buckets.setdefault(key, []).append((i, j))
 
@@ -416,7 +450,7 @@ def spmd_blk5_sweep(
     # dispatch all buckets asynchronously (JAX async dispatch), pull after
     pending = []
     with mesh:
-        for (Rf, Rt, pure, P_sr), plist in sorted(
+        for (Rf, Rt, pure), plist in sorted(
             buckets.items(), key=lambda kv: -len(kv[1])
         ):
             pairs = np.asarray(plist, np.int32)
@@ -426,8 +460,8 @@ def spmd_blk5_sweep(
                 pairs = np.concatenate([pairs, np.zeros((npad, 2), np.int32)])
                 pair_valid[-npad:] = False
             fn = _build_spmd_bucket_sweep(
-                mesh_key, B, snp_data.nseq, int(sr_dist), int(g), K, P_sr,
-                Rf, Rt, 3, pure,
+                mesh_key, B, snp_data.nseq, int(sr_dist), int(g), K,
+                k_row, P_cap, Rf, Rt, 3, pure,
             )
             outs = fn(
                 codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
@@ -459,7 +493,7 @@ def spmd_blk5_sweep(
             pos_f=ranked.pos[f_sl], pos_t=ranked.pos[t_sl],
             pnt_f=paint_sorted[f_sl], pnt_t=paint_sorted[t_sl],
             g=g, sr_dist=sr_dist, lr_prob=lr_prob, K=K,
-            expected_sr=sr_counts[(bi, bj)],
+            expected_sr=int(sr_counts[bi, bj]),
             sr_links=sr_links, lr_rows_sink=lr_rows_sink,
         )
         if done:
@@ -471,7 +505,7 @@ def spmd_blk5_sweep(
                 w32_dev, wparts_dev, neff_dev,
                 g, sr_dist, lr_prob, sr_links, lr_rows_sink,
             )
-            stats["sr_pairs"] += sr_counts[(bi, bj)]
+            stats["sr_pairs"] += int(sr_counts[bi, bj])
 
     if verbose:
         print(
