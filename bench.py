@@ -39,6 +39,13 @@ import time
 import numpy as np
 
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+if SMOKE:
+    # Force the CPU backend BEFORE any jax import reaches the axon PJRT
+    # plugin: the env var alone is overridden by the plugin's
+    # sitecustomize registration (CLAUDE.md), so set the config too.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 NSEQ = int(os.environ.get("BENCH_NSEQ", 64 if SMOKE else 1024))
 NSNP = int(os.environ.get("BENCH_NSNP", 2048 if SMOKE else 131072))
 BLOCK = int(os.environ.get("BENCH_BLOCK", 512 if SMOKE else 4096))
