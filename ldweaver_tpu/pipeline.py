@@ -230,6 +230,7 @@ def ldweaver(
         # resume cache: parsed_gbk.rds / parsed_gff3.rds equivalents
         # (R/BacGWES.R:314-319) as pickles of the parsed dataclasses.
         print("\n#################### BLOCK 2 ####################\n")
+        stage2 = _stage("blk2_annotation_parse"); stage2.__enter__()
         import pickle
 
         ann_base = "parsed_gbk.pkl" if gbk_path is not None else "parsed_gff3.pkl"
@@ -283,10 +284,12 @@ def ldweaver(
 
         if cfg.save_additional_outputs and not os.path.exists(snp_path):
             snp_data.save_npz(snp_path)
+        stage2.__exit__()
 
         # ---- BLK3: CDS diversity (R/BacGWES.R:353-364)
         # resume cache: cds_var.rds equivalent (R/BacGWES.R:358-364)
         print("\n#################### BLOCK 3 ####################\n")
+        stage3 = _stage("blk3_cds_diversity"); stage3.__enter__()
         if os.path.exists(cds_var_path):
             print("Loading previous CDS variation estimates")
             cds_var = CdsVar.load_npz(cds_var_path)
@@ -303,9 +306,11 @@ def ldweaver(
         from ldweaver_tpu.plots import plot_cds_clusters
 
         plot_cds_clusters(cds_var, os.path.join(dset, "CDS_clustering.png"))
+        stage3.__exit__()
 
         # ---- BLK4: Hamming weights (R/BacGWES.R:366-378)
         print("\n#################### BLOCK 4 ####################\n")
+        stage4 = _stage("blk4_hamming_weights"); stage4.__enter__()
         if os.path.exists(hdw_path):
             print("Loading previous Hamming distance estimates")
             hdw = np.load(hdw_path)["hdw"]
@@ -317,6 +322,7 @@ def ldweaver(
             )
             if cfg.save_additional_outputs:
                 np.savez_compressed(hdw_path, hdw=hdw)
+        stage4.__exit__()
 
         # ---- BLK5: MI computation (R/BacGWES.R:380-395)
         print("\n#################### BLOCK 5 ####################\n")
@@ -367,11 +373,17 @@ def ldweaver(
         stage5.__exit__()
         import json as _json
 
-        with open(os.path.join(dset, "timings.json"), "wt") as _fh:
-            _json.dump(timings, _fh, indent=1)
+        def _dump_timings():
+            # written after BLK5 (the expensive stage, crash resilience)
+            # and again at every pipeline exit with the full per-block map
+            with open(os.path.join(dset, "timings.json"), "wt") as _fh:
+                _json.dump(timings, _fh, indent=1)
+
+        _dump_timings()
         # ---- BLK6: genomewide LD map (R/BacGWES.R:399-408)
         if not cfg.perform_SR_analysis_only:
             print("\n#################### BLOCK 6 ####################\n")
+            stage6 = _stage("blk6_ld_map"); stage6.__enter__()
             try:
                 from ldweaver_tpu.plots import genomewide_ld_map
 
@@ -386,6 +398,7 @@ def ldweaver(
                 )
             except Exception as e:  # plotting must not kill the pipeline
                 print(f"LD map skipped: {e}")
+            stage6.__exit__()
 
         if len(sr_df) == 0:
             raise RuntimeError(
@@ -395,6 +408,7 @@ def ldweaver(
 
         # ---- BLK7: GWES plots (R/BacGWES.R:417-420)
         print("\n#################### BLOCK 7 ####################\n")
+        stage7 = _stage("blk7_gwes_plots"); stage7.__enter__()
         from ldweaver_tpu.core.background import SrLinks as _SrLinks
         from ldweaver_tpu.plots import make_gwes_plots
 
@@ -410,16 +424,19 @@ def ldweaver(
             ARACNE=sr_df["ARACNE"].to_numpy(),
         )
         make_gwes_plots(sr_struct, dset, are_srlinks_ordered=order_links)
+        stage7.__exit__()
 
         # ---- BLK8: annotation + tophits (R/BacGWES.R:422-438)
         print("\n#################### BLOCK 8 ####################\n")
         if not cfg.SnpEff_Annotate:
             cleanup(dset)
+            _dump_timings()
             print(
                 f"\n** All done in {(time.time() - t_global) / 60:.3f} m **"
             )
             return sr_df
 
+        stage8 = _stage("blk8_annotation_tophits"); stage8.__enter__()
         from ldweaver_tpu.annotate import perform_annotations
 
         if not os.path.exists(tophits_path):
@@ -444,10 +461,12 @@ def ldweaver(
         else:
             print("Loading previous top hits")
             tophits = readers.read_top_hits(tophits_path)
+        stage8.__exit__()
 
         # ---- BLK9: tanglegram (R/BacGWES.R:441-448)
         if cfg.tanglegram_break_segments is not None:
             print("\n#################### BLOCK 9 ####################\n")
+            stage9 = _stage("blk9_tanglegram"); stage9.__enter__()
             from ldweaver_tpu.tanglegram import create_tanglegram
 
             create_tanglegram(
@@ -456,10 +475,12 @@ def ldweaver(
                 os.path.join(dset, "SR_Tanglegram"),
                 break_segments=cfg.tanglegram_break_segments,
             )
+            stage9.__exit__()
 
         # ---- BLK10: GWESExplorer (R/BacGWES.R:449-458)
         if cfg.write_gwesExplorer:
             print("\n#################### BLOCK 10 ####################\n")
+            stage10 = _stage("blk10_gwes_explorer"); stage10.__enter__()
             write_gwes_explorer_output(
                 snp_data,
                 dict(
@@ -475,9 +496,11 @@ def ldweaver(
                 os.path.join(dset, "SR_GWESExplorer"),
                 links_type="SR",
             )
+            stage10.__exit__()
 
         # ---- BLK11: network plot (R/BacGWES.R:461-467)
         print("\n#################### BLOCK 11 ####################\n")
+        stage11 = _stage("blk11_network_plot"); stage11.__enter__()
         try:
             from ldweaver_tpu.plots import create_network
 
@@ -488,10 +511,12 @@ def ldweaver(
             )
         except Exception as e:
             print(f"network plot skipped: {e}")
+        stage11.__exit__()
 
         # ---- BLK12: LR analysis (R/BacGWES.R:469-487)
         if not cfg.perform_SR_analysis_only:
             print("\n#################### BLOCK 12 ####################\n")
+            stage12 = _stage("blk12_lr_analysis"); stage12.__enter__()
             if not (
                 os.path.exists(os.path.join(dset, "lr_tophits.tsv"))
                 or os.path.exists(os.path.join(dset, "Tophits/lr_tophits.tsv"))
@@ -514,8 +539,10 @@ def ldweaver(
                 )
             else:
                 print("Results from previous LR analysis exist!")
+            stage12.__exit__()
 
         cleanup(dset)
+        _dump_timings()
         print(f"\n** All done in {(time.time() - t_global) / 60:.3f} m **")
     tee.file.close()
     return sr_df
