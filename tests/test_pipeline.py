@@ -66,6 +66,25 @@ def test_pipeline_outputs_exist(run_jax):
         assert os.path.exists(os.path.join(dset, rel)), rel
 
 
+def test_timings_cover_every_block(run_jax):
+    """timings.json must carry a wall-clock entry for every executed
+    block (aux tracing parity; the reference prints per-block Sys.time()
+    deltas, R/BacGWES.R passim)."""
+    import json
+
+    dset, _ = run_jax
+    timings = json.load(open(os.path.join(dset, "timings.json")))
+    expected = {
+        "blk1_parse_alignment", "blk2_annotation_parse",
+        "blk3_cds_diversity", "blk4_hamming_weights",
+        "blk5_mi_computation", "blk6_ld_map", "blk7_gwes_plots",
+        "blk8_annotation_tophits", "blk9_tanglegram",
+        "blk10_gwes_explorer", "blk11_network_plot", "blk12_lr_analysis",
+    }
+    assert expected <= set(timings), sorted(expected - set(timings))
+    assert all(v >= 0 for v in timings.values())
+
+
 def test_sr_links_schema(run_jax):
     dset, _ = run_jax
     df = readers.read_short_range_links(os.path.join(dset, "Temp/sr_links.tsv"))
