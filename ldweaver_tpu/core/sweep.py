@@ -844,12 +844,14 @@ def perform_mi_computation(
     from ldweaver_tpu.utils.profiling import maybe_trace
 
     if backend == "spmd":
-        # one SPMD dispatch per rank bucket over the device mesh; the
-        # complete BLK5 link extraction (SR table + per-tile LR retention)
-        # comes off the mesh with fixed-shape scan outputs — no host tile
-        # loop (parallel/spmd_sweep.py).  Byte-identical to backend="fast".
-        # Checkpointing is whole-sweep (file-granular, like the reference
-        # R/BacGWES.R:382-385): checkpoint_dir is ignored here.
+        # budget-bounded SPMD scan segments per rank bucket over the
+        # device mesh; the complete BLK5 link extraction (SR table +
+        # per-tile LR retention) comes off the mesh with fixed-shape scan
+        # outputs — no host tile loop (parallel/spmd_sweep.py).
+        # Byte-identical to backend="fast".  Checkpointing is whole-sweep
+        # (file-granular, like the reference R/BacGWES.R:382-385):
+        # checkpoint_dir is ignored here.  device_budget_bytes here caps
+        # the device-resident extraction OUTPUT per in-flight segment.
         from ldweaver_tpu.parallel.spmd_sweep import spmd_blk5_sweep
 
         spmd_blk5_sweep(
@@ -865,6 +867,7 @@ def perform_mi_computation(
             block=fast_blk,
             n_devices=n_devices,
             perform_sr_only=perform_sr_analysis_only,
+            out_budget_bytes=device_budget_bytes,
             verbose=verbose,
         )
     elif backend == "fast":

@@ -34,9 +34,23 @@ shard, the pipelined FastTileRunner as a length-1 scan per tile.  Their
 sr/lr TSVs are therefore byte-identical BY CONSTRUCTION
 (tests/test_spmd_sweep.py), and outputs are invariant to mesh size.
 
-Outputs of the SPMD driver are sharded along the pair axis (`P('b')`):
-each host reads its addressable shards, so the design extends to
-multi-process pods (parallel/multihost.py) without host-side tile loops.
+**Memory footprint.** A scan stacks every step's outputs, so sweeping a
+whole bucket in one dispatch would hold O(n_tiles * (P_sr + K)) bytes of
+extraction output in HBM (2.2 GB at the 131k-SNP bench scale — the round-2
+TPU worker crash, BENCH_r02.json).  The driver therefore splits each
+bucket's pair list into fixed-size SEGMENTS sized from `out_budget_bytes`
+and double-buffers them: segment s+1 is dispatched (async) before segment
+s is pulled, bounding device output memory to one budget while transfers
+overlap compute.  Segment boundaries cannot change any output byte — the
+scan body is identical and emission happens tile-by-tile on host.
+
+Outputs of the SPMD driver are sharded along the pair axis (`P('b')`).
+Under multi-process (`jax.process_count() > 1`) each host feeds its
+addressable slice of the pair list, reads back only its addressable
+shards, and the per-segment results are `process_allgather`'d so EVERY
+host holds the full extraction results and emits identically; callers
+gate file writes on `multihost.is_writer()` (tests/test_multihost.py
+drives this driver itself with 2 real processes).
 """
 
 from __future__ import annotations
@@ -44,6 +58,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
+from collections import deque
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -371,7 +387,69 @@ def emit_tile_extract(
 
 
 # --------------------------------------------------------------------------
-# The SPMD driver: one dispatch per bucket, emission in pipeline order
+# Multi-process plumbing: global arrays in, host copies of sharded results
+# out.  All three helpers are identity-cheap in the single-process case.
+# --------------------------------------------------------------------------
+def _to_global(mesh, x, spec):
+    """Commit a host array as a global array with the given PartitionSpec.
+    Single-process: a plain device transfer.  Multi-process: the caller
+    passes this process's HOST-LOCAL chunk (the full array for replicated
+    specs) and jax assembles the global view."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jnp.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(x, mesh, spec)
+
+
+def _local_rows(x: np.ndarray, nsh: int) -> np.ndarray:
+    """This process's contiguous slice of a [nsh*k, ...] array sharded
+    along axis 0 of a 1-D mesh built from jax.devices() (each process's
+    devices are contiguous in that order)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return x
+    per_dev = x.shape[0] // nsh
+    ldc = jax.local_device_count()
+    lo = jax.process_index() * ldc * per_dev
+    return x[lo : lo + ldc * per_dev]
+
+
+def _pull_sharded(o) -> np.ndarray:
+    """Host copy of a P('b')-sharded output.  Single-process: one pull.
+    Multi-process: concatenate this host's addressable shards (in global
+    order) and allgather across processes so every host sees all tiles."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(o)
+    shards = sorted(
+        o.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(local, tiled=True)
+
+
+def _default_out_budget() -> int:
+    """Device bytes one in-flight extraction segment may occupy.  Two
+    segments are in flight (double buffer), so the device holds at most
+    2x this in scan outputs.  Overridable via LDW_SPMD_OUT_BUDGET."""
+    env = os.environ.get("LDW_SPMD_OUT_BUDGET")
+    if env:
+        return int(env)
+    return 256 << 20
+
+
+# --------------------------------------------------------------------------
+# The SPMD driver: budget-bounded scan segments per bucket, double-buffered
+# dispatch/pull, emission in pipeline order
 # --------------------------------------------------------------------------
 def spmd_blk5_sweep(
     snp_data,
@@ -387,15 +465,19 @@ def spmd_blk5_sweep(
     n_devices: Optional[int] = None,
     perform_sr_only: bool = False,
     topk_cap: int = 1 << 18,
+    out_budget_bytes: Optional[int] = None,
     verbose: bool = True,
 ) -> Dict[str, int]:
-    """Run BLK5's sweep as ONE SPMD dispatch per (Rf, Rt, pure, P_cap)
-    bucket and emit links exactly like the FastTileRunner extract path
-    (same tile order, same row-major per-tile order, same f64 thresholds,
-    same compiled body), so sr/lr TSVs come out byte-identical.  Returns
-    emission stats."""
-    import jax.numpy as jnp
+    """Run BLK5's sweep as budget-bounded SPMD scan segments per
+    (Rf, Rt, pure) bucket and emit links exactly like the FastTileRunner
+    extract path (same tile order, same row-major per-tile order, same
+    f64 thresholds, same compiled body), so sr/lr TSVs come out
+    byte-identical.  Returns emission stats.
 
+    `out_budget_bytes` caps the extraction output held on device by one
+    in-flight segment (two segments are in flight); it bounds total HBM
+    output memory independent of nsnp — the structural fix for the
+    round-2 bench crash.  Segmentation is output-invariant."""
     from ldweaver_tpu.parallel.slabs import panel_pair_order
     from ldweaver_tpu.parallel.sweep import get_mesh
 
@@ -439,50 +521,87 @@ def spmd_blk5_sweep(
             buckets.setdefault(key, []).append((i, j))
 
     w32, wparts = _wparts(hdw)
-    codes_dev = jnp.asarray(ranked.rank_codes)
-    wparts_dev = jnp.asarray(wparts)
-    w32_dev = jnp.asarray(w32)
-    r_dev = jnp.asarray(ranked.r)
-    pos_dev = jnp.asarray(ranked.pos, jnp.int32)
-    valid_dev = jnp.asarray(valid)
-    neff_dev = jnp.asarray(np.float32(neff))
+    from jax.sharding import PartitionSpec as P
 
-    # dispatch all buckets asynchronously (JAX async dispatch), pull after
-    pending = []
+    codes_dev = _to_global(mesh, ranked.rank_codes, P())
+    wparts_dev = _to_global(mesh, wparts, P())
+    w32_dev = _to_global(mesh, w32, P())
+    r_dev = _to_global(mesh, ranked.r, P())
+    pos_dev = _to_global(mesh, np.asarray(ranked.pos, np.int32), P())
+    valid_dev = _to_global(mesh, valid, P())
+    neff_dev = _to_global(mesh, np.float32(neff), P())
+    prob_dev = _to_global(
+        mesh, np.float32(1.0 if lr_prob is None else lr_prob), P()
+    )
+
+    # Segment each bucket's pair list so one in-flight segment's stacked
+    # scan outputs stay under the byte budget (module docstring).  All
+    # full segments of a bucket share one padded length (one compiled
+    # program); the remainder gets a second, exact-padded length.
+    per_tile_bytes = 8 * (K + P_cap) + 32
+    if out_budget_bytes is None:
+        out_budget_bytes = _default_out_budget()
+    seg = max(1, out_budget_bytes // per_tile_bytes)
+    seg = max(nsh, (seg // nsh) * nsh)
+
+    segments: List[Tuple[Tuple[int, int, bool], List[Tuple[int, int]], int]] = []
+    for key, plist in sorted(buckets.items(), key=lambda kv: -len(kv[1])):
+        for s0 in range(0, len(plist), seg):
+            chunk = plist[s0 : s0 + seg]
+            padded = seg if len(chunk) == seg else len(chunk) + (
+                (-len(chunk)) % nsh
+            )
+            segments.append((key, chunk, padded))
+
+    results: Dict[Tuple[int, int], TileExtract] = {}
+    inflight: deque = deque()
+
+    def drain_one():
+        chunk, outs = inflight.popleft()
+        n_lr, exact, vals, idx, n_sr, sr_idx, sr_vals = (
+            _pull_sharded(o) for o in outs
+        )
+        for s, (bi, bj) in enumerate(chunk):
+            nl = int(n_lr[s])
+            ns = int(n_sr[s])
+            ncand = min(nl, vals.shape[1])
+            results[(bi, bj)] = TileExtract(
+                n_lr=nl, exact=bool(exact[s]),
+                # truncate to live entries so host memory tracks actual
+                # link counts, not the padded caps
+                vals=vals[s, :ncand].copy(), idx=idx[s, :ncand].copy(),
+                n_sr=ns, sr_idx=sr_idx[s, :ns].copy(),
+                sr_vals=sr_vals[s, :ns].copy(),
+            )
+
     with mesh:
-        for (Rf, Rt, pure), plist in sorted(
-            buckets.items(), key=lambda kv: -len(kv[1])
-        ):
-            pairs = np.asarray(plist, np.int32)
-            npad = (-len(pairs)) % nsh
-            pair_valid = np.ones(len(pairs) + npad, bool)
-            if npad:
-                pairs = np.concatenate([pairs, np.zeros((npad, 2), np.int32)])
-                pair_valid[-npad:] = False
+        for (Rf, Rt, pure), chunk, padded in segments:
+            pairs = np.zeros((padded, 2), np.int32)
+            pairs[: len(chunk)] = np.asarray(chunk, np.int32)
+            pair_valid = np.zeros(padded, bool)
+            pair_valid[: len(chunk)] = True
             fn = _build_spmd_bucket_sweep(
                 mesh_key, B, snp_data.nseq, int(sr_dist), int(g), K,
                 k_row, P_cap, Rf, Rt, 3, pure,
             )
             outs = fn(
                 codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
-                jnp.asarray(pairs), jnp.asarray(pair_valid), neff_dev,
-                jnp.asarray(np.float32(1.0 if lr_prob is None else lr_prob)),
+                _to_global(mesh, _local_rows(pairs, nsh), P("b")),
+                _to_global(mesh, _local_rows(pair_valid, nsh), P("b")),
+                neff_dev, prob_dev,
             )
-            pending.append((plist, outs))
+            inflight.append((chunk, outs))
+            # double buffer: keep segment s+1 enqueued while pulling s
+            while len(inflight) > 2:
+                drain_one()
+        while inflight:
+            drain_one()
 
-    results: Dict[Tuple[int, int], TileExtract] = {}
-    for plist, outs in pending:
-        n_lr, exact, vals, idx, n_sr, sr_idx, sr_vals = (
-            np.asarray(o) for o in outs
-        )
-        for s, (bi, bj) in enumerate(plist):
-            results[(bi, bj)] = TileExtract(
-                n_lr=int(n_lr[s]), exact=bool(exact[s]),
-                vals=vals[s], idx=idx[s],
-                n_sr=int(n_sr[s]), sr_idx=sr_idx[s], sr_vals=sr_vals[s],
-            )
-
-    stats = dict(tiles=0, fallbacks=0, sr_pairs=0)
+    stats = dict(
+        tiles=0, fallbacks=0, sr_pairs=0,
+        segments=len(segments), seg_tiles=int(seg),
+        out_bytes_per_segment=int(seg * per_tile_bytes),
+    )
     for bi, bj in panel_pair_order(nb, nb):
         res = results[(bi, bj)]
         stats["tiles"] += 1

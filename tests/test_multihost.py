@@ -101,6 +101,51 @@ def test_two_process_collective_psum(tmp_path):
         assert "psum ok" in out
 
 
+def test_two_process_spmd_driver_matches_single_process(tmp_path):
+    """Launch 2 real processes that drive the production SPMD driver
+    itself (perform_mi_computation(backend='spmd') over the global
+    2-process mesh — addressable-shard reads + per-segment allgather,
+    VERDICT r2 next-#5).  The writer host's full sr/lr TSVs must equal a
+    single-process run byte-for-byte; the second host's too (emission is
+    replicated, so is_writer() gating is sufficient)."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = "/root/repo"
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path),
+             "spmd"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-3000:]
+        assert "spmd pipeline done" in out
+
+    # single-process reference: same dataset/config (output is mesh- and
+    # process-count-invariant by construction)
+    from ldweaver_tpu.core.sweep import perform_mi_computation
+    from tests.multihost_worker import spmd_case
+
+    sd, w, cds_var, kw = spmd_case()
+    perform_mi_computation(
+        sd, w, cds_var,
+        lr_save_path=str(tmp_path / "ref_lr.tsv"),
+        sr_save_path=str(tmp_path / "ref_sr.tsv"),
+        **kw,
+    )
+    ref_sr = (tmp_path / "ref_sr.tsv").read_bytes()
+    ref_lr = (tmp_path / "ref_lr.tsv").read_bytes()
+    assert len(ref_sr) > 0 and len(ref_lr) > 0
+    for pid in range(2):
+        assert (tmp_path / f"spmd{pid}_sr.tsv").read_bytes() == ref_sr
+        assert (tmp_path / f"spmd{pid}_lr.tsv").read_bytes() == ref_lr
+
+
 def test_two_process_sweep_merges_to_single_process(tmp_path):
     """Launch 2 real processes against a localhost coordinator; each
     sweeps its process_pairs shard on its local devices.  The union of

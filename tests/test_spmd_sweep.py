@@ -141,6 +141,90 @@ def test_extract_non_128_multiple_large_block():
     )
 
 
+def test_spmd_segmented_budget_byte_identical(toy_snp_data, toy_hdw,
+                                              tmp_path):
+    """A tiny output budget forces many scan segments (the round-2 TPU
+    crash fix: bounded device output memory, incremental double-buffered
+    pulls) and must not change a single output byte."""
+    sd = toy_snp_data
+    cds_var = _cds_var(sd, seed=5)
+    _, sr1, lr1 = _run(sd, toy_hdw, cds_var, tmp_path, "big", "spmd")
+    _, sr2, lr2 = _run(
+        sd, toy_hdw, cds_var, tmp_path, "tiny", "spmd",
+        device_budget_bytes=1,  # clamps to n_devices tiles per segment
+    )
+    assert sr2 == sr1
+    assert lr2 == lr1
+
+
+def test_spmd_scale_dense_lr():
+    """Adversarial-scale regression (VERDICT r2 next-#9): 16k SNPs with a
+    dense LR retention on the CPU backend — the shape class where the
+    round-2 production path died on the chip.  The segmented SPMD driver
+    must (a) actually segment under a realistic budget, and (b) emit links
+    byte-identical to the pipelined FastTileRunner extract path."""
+    from ldweaver_tpu.core.sweep import FastTileRunner
+    from ldweaver_tpu.parallel.fast_sweep import stratify
+    from ldweaver_tpu.parallel.slabs import panel_pair_order
+    from ldweaver_tpu.parallel.spmd_sweep import spmd_blk5_sweep
+    from tests.test_stream_sweep import _synth
+
+    sd, w = _synth(nsnp=16384, nseq=24, g=2_200_000, seed=9)
+    block, sr_dist = 2048, 20000
+    neff = float(w.sum())
+    paint = np.ones(sd.nsnp, np.int64)
+    retain, approx = 5e5, float(sd.nsnp * (sd.nsnp - 1) / 2)
+
+    def collect():
+        sr_links = [[]]
+        rows = []
+
+        def sink(p1, p2, c1, c2, ln, mi):
+            rows.append((np.asarray(p1), np.asarray(p2), np.asarray(mi)))
+
+        return sr_links, rows, sink
+
+    sr_s, rows_s, sink_s = collect()
+    stats = spmd_blk5_sweep(
+        sd, w, paint, neff, sr_dist, retain, approx, sr_s, sink_s,
+        block=block, out_budget_bytes=16 << 20, verbose=False,
+    )
+    assert stats["segments"] > 2, stats  # the budget actually segmented
+    # nseq=24 gives heavy MI ties, so SOME tiles legitimately fail the
+    # exactness certificate and take the full-tile fallback — good
+    # at-scale coverage of that path — but the common case must extract
+    assert stats["fallbacks"] < stats["tiles"] / 2, stats
+
+    sr_f, rows_f, sink_f = collect()
+    ranked = stratify(sd.codes, sd.acgtn_table, sd.pos, sd.r, block)
+    paint_sorted = np.concatenate(
+        [paint[ranked.perm], np.zeros(ranked.pos.size - sd.nsnp, np.int64)]
+    )
+    valid = np.arange(ranked.pos.size) < sd.nsnp
+    nb = ranked.rank_codes.shape[1] // block
+    runner = FastTileRunner(
+        ranked, paint_sorted, valid, w, neff, sd.g, sr_dist,
+        retain, approx, sr_f, transfer="extract",
+    )
+    for bi, bj in panel_pair_order(nb, nb):
+        runner.finish(runner.dispatch(bi, bj), sink_f)
+
+    def lr_key(rows):
+        return [
+            (a.tobytes(), b.tobytes(), m.tobytes()) for a, b, m in rows
+        ]
+
+    def sr_key(lst):
+        return [
+            (t.pos1.tobytes(), t.pos2.tobytes(), t.MI.tobytes())
+            for parts in lst for t in parts
+        ]
+
+    assert lr_key(rows_s) == lr_key(rows_f)
+    assert sr_key(sr_s) == sr_key(sr_f)
+    assert sum(r[0].size for r in rows_s) > 1000  # dense LR actually kept
+
+
 def test_spmd_fallback_on_unselective_retention(toy_snp_data, toy_hdw,
                                                 tmp_path):
     """lr_prob == 0 (retain everything) keeps every LR pair; tiles whose
