@@ -200,30 +200,33 @@ def merge_and_sort_sr_links(
     if len(dups) > 0:
         # data.table: group by all columns except srp_max and clust_c, keep
         # the FIRST row achieving the group max srp (groups in first-seen
-        # order) - R/computePairwiseMI.R:478-486
-        keys = {}
-        keep_idx = []
-        key_slot = {}
-        for i in range(len(dups)):
-            key = (
-                int(dups.pos1[i]),
-                int(dups.pos2[i]),
-                int(dups.clust1[i]),
-                int(dups.clust2[i]),
-                float(dups.len[i]),
-                float(dups.MI[i]),
-            )
-            if key not in keys:
-                keys[key] = i
-                key_slot[key] = len(keep_idx)
-                keep_idx.append(i)
-            else:
-                j = keys[key]
-                if dups.srp_max[i] > dups.srp_max[j]:
-                    # which.max keeps the first max - strict improvement
-                    keep_idx[key_slot[key]] = i
-                    keys[key] = i
-        sel = np.array(keep_idx, dtype=np.int64)
+        # order) - R/computePairwiseMI.R:478-486.  Vectorised grouping: a
+        # structured-array np.unique replaces the former Python dict loop,
+        # which dominated the whole merge at production scale (~1e8
+        # cross-cluster rows).  Float key columns are normalised +0.0 so
+        # -0.0 and 0.0 share a bit pattern (like dict/R equality); NaN
+        # keys group by bit pattern (data.table also groups NAs together).
+        n = len(dups)
+        key = np.empty(
+            n,
+            dtype=[("p1", "<i8"), ("p2", "<i8"), ("c1", "<i8"),
+                   ("c2", "<i8"), ("ln", "<f8"), ("mi", "<f8")],
+        )
+        key["p1"] = dups.pos1
+        key["p2"] = dups.pos2
+        key["c1"] = dups.clust1
+        key["c2"] = dups.clust2
+        key["ln"] = dups.len + 0.0
+        key["mi"] = dups.MI + 0.0
+        _, first_seen, inv = np.unique(
+            key, return_index=True, return_inverse=True
+        )
+        gmax = np.full(first_seen.size, -np.inf)
+        np.maximum.at(gmax, inv, dups.srp_max)
+        cand = dups.srp_max == gmax[inv]  # rows achieving their group max
+        first_hit = np.full(first_seen.size, n, dtype=np.int64)
+        np.minimum.at(first_hit, inv[cand], np.flatnonzero(cand))
+        sel = first_hit[np.argsort(first_seen, kind="stable")]
         merged = _concat([sr_df, dups.take(sel)])
     else:
         merged = sr_df

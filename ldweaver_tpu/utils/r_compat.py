@@ -385,8 +385,21 @@ def fit_beta_mle(x: np.ndarray) -> Tuple[float, float]:
     if not np.all(np.isfinite(start)) or np.any(start <= 0):
         start = np.array([1.0, 1.0])
 
+    # the beta log-likelihood depends on the data only through
+    # sum(log x) and sum(log1p(-x)): hoist them out of the optimizer loop
+    # (bit-identical to beta_loglik per evaluation — same sums, same
+    # expression — but O(1) instead of O(n) per Nelder-Mead step; at the
+    # 131k-SNP production scale the residual pool is ~1e7 values and the
+    # per-iteration O(n) eval dominated the whole background model)
+    slx = np.log(x).sum()
+    sl1x = np.log1p(-x).sum()
+
     def nll(p):
-        ll = beta_loglik(x, p[0], p[1])
+        a, b = float(p[0]), float(p[1])
+        if a <= 0.0 or b <= 0.0:
+            return np.inf
+        const = n * (math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b))
+        ll = const + (a - 1.0) * slx + (b - 1.0) * sl1x
         return -ll if np.isfinite(ll) else np.inf
 
     # R optim default maxit for Nelder-Mead is 500
