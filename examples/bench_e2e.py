@@ -46,8 +46,11 @@ if SMOKE:
     jax.config.update("jax_platforms", "cpu")
 
 NSEQ = int(os.environ.get("E2E_NSEQ", 24 if SMOKE else 616))
-G = int(os.environ.get("E2E_G", 60_000 if SMOKE else 2_200_000))
-NSNP = int(os.environ.get("E2E_NSNP", 1500 if SMOKE else 131_072))
+G = int(os.environ.get("E2E_G", 100_000 if SMOKE else 2_200_000))
+# smoke spans SEVERAL blocks at the config clamp floor max_blk_sz=1000
+# (ADVICE r2: a 512 smoke block was silently reset to 10000 and the run
+# never tiled)
+NSNP = int(os.environ.get("E2E_NSNP", 2500 if SMOKE else 131_072))
 BACKEND = os.environ.get("E2E_BACKEND", "spmd")
 
 
@@ -133,7 +136,9 @@ def main(out_dir):
     os.makedirs(out_dir, exist_ok=True)
     fa = os.path.join(out_dir, "aln.fa.gz")
     gbk = os.path.join(out_dir, "ref.gbk")
-    if not os.path.exists(fa):
+    # regenerate unless BOTH artifacts exist (ADVICE r2: an interrupted
+    # generation left aln.fa.gz without ref.gbk and the rerun crashed)
+    if not (os.path.exists(fa) and os.path.exists(gbk)):
         print(f"generating {NSEQ} x {G} bp alignment ...", flush=True)
         gen_s, fa_bytes = synth_alignment(fa, gbk, NSEQ, G, NSNP)
         print(f"  wrote {fa_bytes/1e6:.0f} MB gz in {gen_s:.0f} s", flush=True)
@@ -144,11 +149,18 @@ def main(out_dir):
         # reference default: annotate (no java in this image -> the
         # built-in codon-aware annotator runs); all 12 blocks execute
         SnpEff_Annotate=True,
-        max_blk_sz=512 if SMOKE else 4096,
+        max_blk_sz=1000 if SMOKE else 4096,  # 1000 = the config clamp floor
         lr_retain_links=1_000_000,
         save_additional_outputs=False,
     )
     dset = os.path.join(out_dir, "ldw_out")
+    if os.path.exists(dset):
+        # a stale dset would resume from caches and time a RESUME, not a
+        # full run (ADVICE r2) — a benchmark must start clean
+        import shutil
+
+        print(f"removing stale {dset} (benchmark runs must be full runs)")
+        shutil.rmtree(dset)
     t0 = time.time()
     sr = ldweaver(dset=dset, aln_path=fa, gbk_path=gbk, config=cfg,
                   backend=BACKEND)

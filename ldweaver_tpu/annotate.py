@@ -62,6 +62,43 @@ def _revcomp(s: str) -> str:
     return "".join(_COMP.get(c, "N") for c in reversed(s))
 
 
+def _feature_segments(f) -> List:
+    """The feature's exon segments, ascending: the parsed join() list for
+    GBK features (io/genbank.py Feature.segments), the plain span
+    otherwise (GFF features have no compound locations)."""
+    segs = getattr(f, "segments", None) or [(f.start, f.end)]
+    return sorted(segs)
+
+
+def _coding_context(f, ref_seq: str, p: int):
+    """(codon, ci, minus) for genome position p inside feature f, walking
+    the segment list so join() CDSs get the correct reading frame on both
+    strands (the span-based frame was wrong for any position after an
+    intron-like gap).  Returns None when p falls in a join gap (snpEff
+    would report intron_variant there).
+
+    Mirrors snpEff's transcript model as consumed through
+    R/SnpEffAnnotations.R:272-311: the coding sequence is the
+    concatenation of segments (reverse-complemented on the minus strand,
+    so translation runs last-segment-end -> first-segment-start)."""
+    segs = _feature_segments(f)
+    off_fwd = 0  # offset of p in the forward-strand concatenation
+    for s, e in segs:
+        if s <= p <= e:
+            off_fwd += p - s
+            break
+        off_fwd += e - s + 1
+    else:
+        return None  # inside the span but in a join gap
+    cds_seq = "".join(ref_seq[s - 1 : e] for s, e in segs).upper()
+    minus = _strand_sign(f) < 0
+    off = (len(cds_seq) - 1 - off_fwd) if minus else off_fwd
+    coding = _revcomp(cds_seq) if minus else cds_seq
+    ci = off % 3
+    codon = coding[off - ci : off - ci + 3]
+    return codon, ci, minus
+
+
 def _strand_sign(f) -> int:
     """Normalise strand across GBK features (int +/-1) and GFF features
     (string '+'/'-')."""
@@ -152,34 +189,37 @@ def annotate_internal(
             f = cds_features[int(hit[0])]
             gene = f.gene or f.locus_tag or ""
             cds_id = f.locus_tag or f.gene or ""
-            # codon position
+            # codon position: segment-aware frame (join() CDSs translate
+            # across their exon list, not their span)
+            ctx = _coding_context(f, ref_seq, p)
             effects = []
-            for alt in alts:
-                if alt not in "ACGT":
-                    effects.append("non_coding")
-                    continue
-                if _strand_sign(f) >= 0:
-                    off = p - f.start
-                    cstart = f.start + (off // 3) * 3
-                    codon = ref_seq[cstart - 1 : cstart + 2].upper()
-                    ci = off % 3
-                    mut = codon[:ci] + alt + codon[ci + 1 :]
-                else:
-                    off = f.end - p
-                    cend = f.end - (off // 3) * 3
-                    codon = _revcomp(ref_seq[cend - 3 : cend].upper())
-                    ci = off % 3
-                    mut = codon[:ci] + _COMP.get(alt, "N") + codon[ci + 1 :]
-                aa0 = _CODON.get(codon, "X")
-                aa1 = _CODON.get(mut, "X")
-                if aa0 == aa1:
-                    effects.append(
-                        "stop_retained_variant"
-                        if aa0 == "*"
-                        else "synonymous_variant"
-                    )
-                else:
-                    effects.append("missense_variant")
+            if ctx is None:
+                # inside the CDS span but in a join() gap — snpEff calls
+                # this intron_variant; the reference's ANN parser maps it
+                # to code "ns" (R/SnpEffAnnotations.R:281-311)
+                print(
+                    f"WARNING: position {p} falls in a join() gap of CDS "
+                    f"{cds_id or gene}; annotating as intron_variant"
+                )
+                effects = ["intron_variant"]
+            else:
+                codon, ci, minus = ctx
+                for alt in alts:
+                    if alt not in "ACGT" or len(codon) < 3:
+                        effects.append("non_coding")
+                        continue
+                    sub = _COMP[alt] if minus else alt
+                    mut = codon[:ci] + sub + codon[ci + 1 :]
+                    aa0 = _CODON.get(codon, "X")
+                    aa1 = _CODON.get(mut, "X")
+                    if aa0 == aa1:
+                        effects.append(
+                            "stop_retained_variant"
+                            if aa0 == "*"
+                            else "synonymous_variant"
+                        )
+                    else:
+                        effects.append("missense_variant")
             # snpEff reports the first ALT's effect as the primary annotation
             annotation = effects[0] if effects else "non_coding"
             syn = {"synonymous_variant", "stop_retained_variant"}

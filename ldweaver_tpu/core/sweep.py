@@ -295,6 +295,7 @@ class FastTileRunner:
         # saturations the runner demotes itself to full transfers — a
         # pure throughput decision; outputs are transfer-mode invariant.
         self.fallbacks = 0
+        self.retries = 0
         self._summary_ok = 0
         self._demoted = False
 
@@ -485,11 +486,12 @@ class FastTileRunner:
     # -- finish: pull + host extraction ----------------------------------
     def finish(self, pending: dict, lr_rows_sink: Callable) -> None:
         if pending["kind"] in ("summary", "extract"):
-            done = (
-                self._finish_summary(pending, lr_rows_sink)
-                if pending["kind"] == "summary"
-                else self._finish_extract(pending, lr_rows_sink)
-            )
+            if pending["kind"] == "summary":
+                done = self._finish_summary(pending, lr_rows_sink)
+            else:
+                done = self._finish_extract(pending, lr_rows_sink)
+                if not done:
+                    done = self._retry_extract(pending, lr_rows_sink)
             if done:
                 self._summary_ok += 1
                 return
@@ -507,31 +509,71 @@ class FastTileRunner:
             )
         self._finish_full(pending, lr_rows_sink)
 
+    def _emit_kw(self, pending: dict) -> dict:
+        B = self.ranked.block
+        bi, bj = pending["bi"], pending["bj"]
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        return dict(
+            B=B,
+            pos_f=self.ranked.pos[f_sl], pos_t=self.ranked.pos[t_sl],
+            pnt_f=self.paint_sorted[f_sl], pnt_t=self.paint_sorted[t_sl],
+            g=self.g, sr_dist=self.sr_dist, lr_prob=self.lr_prob,
+            expected_sr=pending["expected_sr"],
+            sr_links=self.sr_links,
+        )
+
     def _finish_extract(self, pending: dict, lr_rows_sink: Callable) -> bool:
         from ldweaver_tpu.parallel.spmd_sweep import (
             TileExtract,
             emit_tile_extract,
         )
 
-        n_lr, exact, vals, idx, n_sr, sr_idx, sr_vals = (
+        n_lr, exact, row_max, vals, idx, n_sr, sr_idx, sr_vals = (
             np.asarray(o) for o in pending["outs"]
         )
         res = TileExtract(
             n_lr=int(n_lr), exact=bool(exact), vals=vals, idx=idx,
             n_sr=int(n_sr), sr_idx=sr_idx, sr_vals=sr_vals,
+            row_max=int(row_max),
         )
+        pending["res"] = res  # retry sizing reads n_lr / row_max
+        kw = self._emit_kw(pending)
+        kw["lr_rows_sink"] = lr_rows_sink
+        return emit_tile_extract(res, K=self._K, **kw)
+
+    def _retry_extract(self, pending: dict, lr_rows_sink: Callable) -> bool:
+        """Boosted-capacity retry of a failed extraction — the SAME policy
+        as the SPMD driver (parallel/spmd_sweep.spmd_blk5_sweep), so the
+        two drivers keep emitting identical bytes."""
+        from ldweaver_tpu.parallel.spmd_sweep import (
+            emit_tile_extract,
+            retry_dims,
+            retry_tile_extract,
+        )
+
+        if self.lr_prob is None:
+            return False
+        res = pending["res"]
         B = self.ranked.block
+        K, k_row = self._extract_dims()
+        K2, k2 = retry_dims(res, B, self.lr_prob, K, k_row)
+        if K2 * 8 >= B * B * 4:  # full tile moves fewer bytes
+            return False
         bi, bj = pending["bi"], pending["bj"]
-        f_sl = slice(bi * B, (bi + 1) * B)
-        t_sl = slice(bj * B, (bj + 1) * B)
-        return emit_tile_extract(
-            res, B=B,
-            pos_f=self.ranked.pos[f_sl], pos_t=self.ranked.pos[t_sl],
-            pnt_f=self.paint_sorted[f_sl], pnt_t=self.paint_sorted[t_sl],
+        di = pending.get("di", 0)
+        _, cap = self._sr_counts()
+        w32_d, wparts_d, neff_d = self._consts[di]
+        res2 = retry_tile_extract(
+            self.ranked, self.valid, bi, bj, w32_d, wparts_d, neff_d,
             g=self.g, sr_dist=self.sr_dist, lr_prob=self.lr_prob,
-            K=self._K, expected_sr=pending["expected_sr"],
-            sr_links=self.sr_links, lr_rows_sink=lr_rows_sink,
+            K2=K2, k2=k2, P_sr=cap,
+            slab_f=self.caches[di].get(bi), slab_t=self.caches[di].get(bj),
         )
+        self.retries += 1
+        kw = self._emit_kw(pending)
+        kw["lr_rows_sink"] = lr_rows_sink
+        return emit_tile_extract(res2, K=K2, **kw)
 
     def _finish_summary(self, pending: dict, lr_rows_sink: Callable) -> bool:
         ranked = self.ranked

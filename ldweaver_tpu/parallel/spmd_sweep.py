@@ -186,8 +186,22 @@ def _extract_body(
     rows = jax.lax.broadcasted_iota(jnp.int32, (block, k_row), 0)
     flat = rows * block + row_idx
     n_out = min(K, block * k_row)
-    vals, sel = jax.lax.top_k(row_vals.ravel(), n_out)
-    idx = flat.ravel()[sel]
+    if n_out > 4096:
+        # lax.top_k is O(n*k): at the SR-analysis K regime (tens of
+        # thousands kept per tile) it dominated the tile (~0.5 s measured
+        # at K=63k on v5e).  A stable descending sort is O(n log n) and
+        # keeps top_k's tie order (lowest flat index first), so the
+        # output multiset — and therefore every emitted byte — is
+        # unchanged.
+        rv = row_vals.ravel()
+        sk, si = jax.lax.sort_key_val(
+            -rv, jnp.arange(rv.size, dtype=jnp.int32), is_stable=True
+        )
+        vals = -sk[:n_out]
+        idx = flat.ravel()[si[:n_out]]
+    else:
+        vals, sel = jax.lax.top_k(row_vals.ravel(), n_out)
+        idx = flat.ravel()[sel]
     # certificate at the NEEDED depth: the host only reads ranks down to
     # i_lo = n_lr-1-floor((n_lr-1)*prob), so stage 1 must be lossless for
     # values >= the candidate at rank i_cert = i_lo + margin (a kth-depth
@@ -204,7 +218,11 @@ def _extract_body(
     tot_max = lr_ok.sum(axis=1).max()
     abv_max = above.sum(axis=1).max()
     exact = (tot_max <= k_row) | (jnp.isfinite(vstar) & (abv_max <= k_row))
-    return (n_lr, exact, vals, idx.astype(jnp.int32), n_sr, sr_idx, sr_vals)
+    # tot_max rides along so a failed certificate can be retried with a
+    # k_row that is lossless BY CONSTRUCTION (tot_max <= k_row') instead
+    # of paying the full-B^2-tile fallback transfer
+    return (n_lr, exact, tot_max.astype(jnp.int32), vals,
+            idx.astype(jnp.int32), n_sr, sr_idx, sr_vals)
 
 
 @functools.lru_cache(maxsize=None)
@@ -289,7 +307,7 @@ def _build_spmd_bucket_sweep(
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(), P("b"), P("b"), P(),
                       P()),
-            out_specs=(P("b"),) * 7,
+            out_specs=(P("b"),) * 8,
         )
     )
 
@@ -306,6 +324,7 @@ class TileExtract:
     n_sr: int
     sr_idx: np.ndarray  # [>=n_sr] i32 row-major
     sr_vals: np.ndarray  # [>=n_sr] f32
+    row_max: int = 0  # max LR candidates in any row (retry sizing)
 
 
 def lr_threshold_from_topk(n_lr: int, vals: np.ndarray, lr_prob: float,
@@ -326,6 +345,71 @@ def lr_threshold_from_topk(n_lr: int, vals: np.ndarray, lr_prob: float,
     hi_asc = min(lo + 1, n - 1)
     x_hi = vals64[n - 1 - hi_asc]
     return float(x_lo + (h - lo) * (x_hi - x_lo))
+
+
+def retry_dims(res: "TileExtract", block: int, lr_prob: float,
+               K: int, k_row: int) -> Tuple[int, int]:
+    """(K', k_row') for the boosted-capacity retry of a failed tile.
+
+    k_row' >= the tile's measured max per-row candidate count, so the
+    stage-1 certificate holds BY CONSTRUCTION; K' covers the exact
+    retention rank i_lo (known from n_lr) with the same 2x + 1024 tie
+    margin the primary sizing uses.  A retry moves O(K') bytes instead of
+    the full B^2 tile — through the high-latency relay that is the
+    difference between ~0.1 s and ~10 s per failed tile."""
+    n = int(res.n_lr)
+    h = (n - 1) * lr_prob
+    i_lo = n - 1 - int(math.floor(h))
+    K2 = min(block * block, _next_pow2(2 * (i_lo + 1) + 1024))
+    k2 = min(block, _next_pow2(max(int(res.row_max), 2 * k_row)))
+    return max(K2, K), max(k2, k_row)
+
+
+def retry_tile_extract(
+    ranked, valid, bi: int, bj: int,
+    w32_dev, wparts_dev, neff_dev,
+    *, g: int, sr_dist: int, lr_prob: float, K2: int, k2: int, P_sr: int,
+    slab_f=None, slab_t=None,
+) -> "TileExtract":
+    """Re-run one tile's extraction with boosted (K2, k2) on the local
+    default device (shared by both drivers' fallback paths).  Pass
+    device-resident slabs when a cache already holds them."""
+    import jax.numpy as jnp
+
+    B = ranked.block
+    f_sl = slice(bi * B, (bi + 1) * B)
+    t_sl = slice(bj * B, (bj + 1) * B)
+    r_f = np.asarray(ranked.r[f_sl], np.float32)
+    r_t = np.asarray(ranked.r[t_sl], np.float32)
+    pure = bool(ranked.block_pure[bi]) and bool(ranked.block_pure[bj])
+    fn = _build_tile_extract(
+        B, int(sr_dist), int(g), K2, k2, P_sr,
+        int(r_f.max()), int(r_t.max()), 3, pure,
+    )
+    if slab_f is None:
+        slab_f = jnp.asarray(
+            np.ascontiguousarray(ranked.rank_codes[:, f_sl].T)
+        )
+    if slab_t is None:
+        slab_t = jnp.asarray(
+            np.ascontiguousarray(ranked.rank_codes[:, t_sl].T)
+        )
+    outs = fn(
+        slab_f, slab_t, w32_dev, wparts_dev, r_f, r_t, neff_dev,
+        np.asarray(ranked.pos[f_sl], np.int32),
+        np.asarray(ranked.pos[t_sl], np.int32),
+        np.asarray(valid[f_sl]), np.asarray(valid[t_sl]),
+        np.asarray([bi, bj], np.int32), np.True_,
+        np.float32(lr_prob),
+    )
+    n_lr, exact, row_max, vals, idx, n_sr, sr_idx, sr_vals = (
+        np.asarray(o) for o in outs
+    )
+    return TileExtract(
+        n_lr=int(n_lr), exact=bool(exact), vals=vals, idx=idx,
+        n_sr=int(n_sr), sr_idx=sr_idx, sr_vals=sr_vals,
+        row_max=int(row_max),
+    )
 
 
 def emit_tile_extract(
@@ -363,6 +447,11 @@ def emit_tile_extract(
         cand = res.vals[: min(res.n_lr, K, res.vals.shape[0])].astype(
             np.float64
         )
+        if res.n_lr > cand.size and cand.size and cand[-1] >= q:
+            # candidates beyond the top-K could also pass the threshold
+            # (tie block crossing the K boundary): the retention would
+            # silently drop links the full-tile path keeps — fall back
+            return False
         kept_sel = np.flatnonzero(cand >= q)
 
     if kept_sel is not None and kept_sel.size:
@@ -555,12 +644,22 @@ def spmd_blk5_sweep(
 
     results: Dict[Tuple[int, int], TileExtract] = {}
     inflight: deque = deque()
+    import time as _time
+
+    debug = os.environ.get("LDW_SPMD_DEBUG") == "1"
 
     def drain_one():
-        chunk, outs = inflight.popleft()
-        n_lr, exact, vals, idx, n_sr, sr_idx, sr_vals = (
+        chunk, outs, t_disp = inflight.popleft()
+        t0 = _time.time()
+        n_lr, exact, row_max, vals, idx, n_sr, sr_idx, sr_vals = (
             _pull_sharded(o) for o in outs
         )
+        if debug:
+            print(
+                f"  spmd segment: {len(chunk)} tiles, dispatch {t_disp:.2f}s,"
+                f" pull {_time.time() - t0:.2f}s",
+                flush=True,
+            )
         for s, (bi, bj) in enumerate(chunk):
             nl = int(n_lr[s])
             ns = int(n_sr[s])
@@ -572,10 +671,12 @@ def spmd_blk5_sweep(
                 vals=vals[s, :ncand].copy(), idx=idx[s, :ncand].copy(),
                 n_sr=ns, sr_idx=sr_idx[s, :ns].copy(),
                 sr_vals=sr_vals[s, :ns].copy(),
+                row_max=int(row_max[s]),
             )
 
     with mesh:
         for (Rf, Rt, pure), chunk, padded in segments:
+            t0 = _time.time()
             pairs = np.zeros((padded, 2), np.int32)
             pairs[: len(chunk)] = np.asarray(chunk, np.int32)
             pair_valid = np.zeros(padded, bool)
@@ -590,46 +691,71 @@ def spmd_blk5_sweep(
                 _to_global(mesh, _local_rows(pair_valid, nsh), P("b")),
                 neff_dev, prob_dev,
             )
-            inflight.append((chunk, outs))
+            inflight.append((chunk, outs, _time.time() - t0))
             # double buffer: keep segment s+1 enqueued while pulling s
             while len(inflight) > 2:
                 drain_one()
         while inflight:
             drain_one()
 
+    t_emit0 = _time.time()
     stats = dict(
-        tiles=0, fallbacks=0, sr_pairs=0,
+        tiles=0, fallbacks=0, retries=0, sr_pairs=0,
         segments=len(segments), seg_tiles=int(seg),
         out_bytes_per_segment=int(seg * per_tile_bytes),
     )
+    # local single-device constants for retry/fallback dispatches
+    import jax.numpy as jnp
+
+    w32_loc = jnp.asarray(w32)
+    wparts_loc = jnp.asarray(wparts)
+    neff_loc = jnp.asarray(np.float32(neff))
+
     for bi, bj in panel_pair_order(nb, nb):
         res = results[(bi, bj)]
         stats["tiles"] += 1
         f_sl = slice(bi * B, (bi + 1) * B)
         t_sl = slice(bj * B, (bj + 1) * B)
-        done = emit_tile_extract(
-            res, B=B,
+        emit_kw = dict(
+            B=B,
             pos_f=ranked.pos[f_sl], pos_t=ranked.pos[t_sl],
             pnt_f=paint_sorted[f_sl], pnt_t=paint_sorted[t_sl],
-            g=g, sr_dist=sr_dist, lr_prob=lr_prob, K=K,
+            g=g, sr_dist=sr_dist, lr_prob=lr_prob,
             expected_sr=int(sr_counts[bi, bj]),
             sr_links=sr_links, lr_rows_sink=lr_rows_sink,
         )
+        done = emit_tile_extract(res, K=K, **emit_kw)
+        if not done and lr_prob is not None:
+            # boosted-capacity retry before the full-tile transfer —
+            # only when it moves fewer bytes than the B^2 f32 tile would
+            K2, k2 = retry_dims(res, B, lr_prob, K, k_row)
+            if K2 * 8 < B * B * 4:
+                res2 = retry_tile_extract(
+                    ranked, valid, bi, bj, w32_loc, wparts_loc, neff_loc,
+                    g=g, sr_dist=sr_dist, lr_prob=lr_prob,
+                    K2=K2, k2=k2, P_sr=P_cap,
+                )
+                stats["retries"] += 1
+                done = emit_tile_extract(res2, K=K2, **emit_kw)
+                if done:
+                    res = res2
         if done:
             stats["sr_pairs"] += res.n_sr
         else:
             stats["fallbacks"] += 1
             _fallback_full_tile(
                 ranked, valid, paint_sorted, bi, bj,
-                w32_dev, wparts_dev, neff_dev,
+                w32_loc, wparts_loc, neff_loc,
                 g, sr_dist, lr_prob, sr_links, lr_rows_sink,
             )
             stats["sr_pairs"] += int(sr_counts[bi, bj])
 
-    if verbose:
+    if verbose or debug:
         print(
             f"SPMD sweep: {stats['tiles']} tiles over {nsh} device(s), "
-            f"{stats['sr_pairs']} sr pairs, {stats['fallbacks']} fallbacks"
+            f"{stats['sr_pairs']} sr pairs, {stats['fallbacks']} fallbacks,"
+            f" emit {_time.time() - t_emit0:.2f}s",
+            flush=True,
         )
     return stats
 

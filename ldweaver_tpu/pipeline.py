@@ -93,19 +93,27 @@ def ldweaver(
     cfg = config or LDWeaverConfig(**config_kwargs)
     t_global = time.time()
     timings = {}
+    open_stages = []
 
     class _stage:
         """Structured per-stage timing (SURVEY.md section 5: the reference
-        only prints Sys.time() deltas; we also persist timings.json)."""
+        only prints Sys.time() deltas; we also persist timings.json).
+        Stages register themselves so the pipeline-level finally can close
+        a stage interrupted by an exception and still record its wall
+        clock (ADVICE r2: manual enter/exit pairs lost the timing of a
+        raising block and skipped the final dump)."""
 
         def __init__(self, name):
             self.name = name
 
         def __enter__(self):
             self.t0 = time.time()
+            open_stages.append(self)
 
         def __exit__(self, *exc):
             timings[self.name] = round(time.time() - self.t0, 3)
+            if self in open_stages:
+                open_stages.remove(self)
 
     # ---- sanity checks (R/BacGWES.R:99-124)
     if (gbk_path is None) == (gff3_path is None):
@@ -130,6 +138,34 @@ def ldweaver(
     )
     tee = _Tee(info_file)
 
+    import json as _json
+
+    def _dump_timings():
+        # written after BLK5 (the expensive stage, crash resilience), at
+        # every pipeline exit, and from the finally below on a crash
+        with open(os.path.join(dset, "timings.json"), "wt") as _fh:
+            _json.dump(timings, _fh, indent=1)
+
+    try:
+        return _ldweaver_body(
+            dset, aln_path, aln_has_all_bases, pos, gbk_path, gff3_path,
+            ref_fasta_path, validate_ref_ann_lengths, snpeff_jar_path,
+            cfg, backend, order_links, tee, t_global, _stage,
+            _dump_timings,
+        )
+    finally:
+        # a raising block still gets its (partial) wall clock recorded
+        for st in list(open_stages):
+            st.__exit__()
+        _dump_timings()
+        tee.file.close()
+
+
+def _ldweaver_body(
+    dset, aln_path, aln_has_all_bases, pos, gbk_path, gff3_path,
+    ref_fasta_path, validate_ref_ann_lengths, snpeff_jar_path,
+    cfg, backend, order_links, tee, t_global, _stage, _dump_timings,
+):
     with contextlib.redirect_stdout(tee):
         print("***** This is LDWeaver-TPU *****")
         # capability banner (the reference prints OpenMP status at start,
@@ -282,6 +318,11 @@ def ldweaver(
             if snp_data.g is None:
                 snp_data.g = gff.g
 
+        # tanglegram locus lookup scans EVERY feature type, not just CDS
+        # (R/createTanglegram.R:88-137 walks genes/cds/exons/transcripts/
+        # other_features)
+        all_features = gbk.features if gbk is not None else gff.features
+
         if cfg.save_additional_outputs and not os.path.exists(snp_path):
             snp_data.save_npz(snp_path)
         stage2.__exit__()
@@ -371,14 +412,6 @@ def ldweaver(
             )
 
         stage5.__exit__()
-        import json as _json
-
-        def _dump_timings():
-            # written after BLK5 (the expensive stage, crash resilience)
-            # and again at every pipeline exit with the full per-block map
-            with open(os.path.join(dset, "timings.json"), "wt") as _fh:
-                _json.dump(timings, _fh, indent=1)
-
         _dump_timings()
         # ---- BLK6: genomewide LD map (R/BacGWES.R:399-408)
         if not cfg.perform_SR_analysis_only:
@@ -471,7 +504,7 @@ def ldweaver(
 
             create_tanglegram(
                 tophits,
-                cds_features,
+                all_features,
                 os.path.join(dset, "SR_Tanglegram"),
                 break_segments=cfg.tanglegram_break_segments,
             )
@@ -544,7 +577,6 @@ def ldweaver(
         cleanup(dset)
         _dump_timings()
         print(f"\n** All done in {(time.time() - t_global) / 60:.3f} m **")
-    tee.file.close()
     return sr_df
 
 

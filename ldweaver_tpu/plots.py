@@ -127,7 +127,19 @@ def genomewide_ld_map(
     """Bird's-eye LD heatmap (R/LDSummaryPlot.R:25-131): links -> symmetric
     sparse matrix over the involved positions, banded aggregation by
     `reducer`, log10 + 0-1 rescale, heatmap.  from_pos/to_pos restrict the
-    plot to a genomic window (R/LDSummaryPlot.R:37-48,59-68)."""
+    plot to a genomic window (R/LDSummaryPlot.R:37-48,59-68).
+
+    Aggregation semantics vs the reference (documented divergence,
+    PARITY.md): the reference reduces via X^T M X with X = .mat(n, r)
+    (R/LDSummaryPlot.R:99-101,176-178), whose column k carries ones at
+    rows [k*r, (k+1)*r) mod (n+r) — identical to the index-div binning
+    below (bin = index // r) for every full bin.  They differ only when
+    r does not divide n: .mat's recycled column pattern WRAPS for the
+    trailing columns (a truncation artifact of
+    matrix(c(rep(1,r),rep(0,n)), n, n/r)), whereas we fold the <r
+    leftover positions into the last bin.  Axis tick labels also differ:
+    the reference labels bins with pos_vec stepped by reducer-1
+    (R/LDSummaryPlot.R:102), we step by reducer."""
     if (from_pos is None) != (to_pos is None):
         raise ValueError(
             "If <from> is provided, <to> must be provided as well!"

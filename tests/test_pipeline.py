@@ -85,6 +85,37 @@ def test_timings_cover_every_block(run_jax):
     assert all(v >= 0 for v in timings.values())
 
 
+def test_timings_survive_block_crash(toy_gbk_path, tmp_path, monkeypatch):
+    """A block that raises must still leave its partial wall clock in
+    timings.json (ADVICE r2: the manual enter/exit pairs lost the raising
+    block's timing and skipped the final dump)."""
+    import json
+
+    import ldweaver_tpu.pipeline as pl
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic BLK4 crash")
+
+    monkeypatch.setattr(pl, "estimate_hamming_distance_weights", boom)
+    dset = str(tmp_path / "crash_run")
+    pos = np.loadtxt(TOY_POS, dtype=np.int64)
+    with pytest.raises(RuntimeError, match="synthetic BLK4 crash"):
+        ldweaver(
+            dset=dset,
+            aln_path=TOY_ALN,
+            aln_has_all_bases=False,
+            pos=pos,
+            gbk_path=toy_gbk_path,
+            validate_ref_ann_lengths=False,
+            backend="numpy",
+        )
+    timings = json.load(open(os.path.join(dset, "timings.json")))
+    for blk in ("blk1_parse_alignment", "blk2_annotation_parse",
+                "blk3_cds_diversity", "blk4_hamming_weights"):
+        assert blk in timings, timings
+    assert "blk5_mi_computation" not in timings
+
+
 def test_sr_links_schema(run_jax):
     dset, _ = run_jax
     df = readers.read_short_range_links(os.path.join(dset, "Temp/sr_links.tsv"))

@@ -83,6 +83,34 @@ def test_segment_links_involution_sorted():
     assert segs.tolist() == [2, 2, 1, 1]
 
 
+def test_locus_name_non_cds_features():
+    """A tophit inside a gene that has NO CDS (rRNA/tRNA spans) must label
+    by that gene, and named features win by the reference's slot
+    precedence genes > cds > other (R/createTanglegram.R:88-137;
+    VERDICT r2 missing-#3)."""
+    from ldweaver_tpu.io.genbank import Feature
+    from ldweaver_tpu.tanglegram import _locus_name
+
+    def feat(type_, s, e, **quals):
+        return Feature(type=type_, start=s, end=e, strand=1,
+                       segments=[(s, e)], qualifiers=quals)
+
+    features = [
+        feat("source", 1, 10000),  # unnamed whole-genome span: never wins
+        feat("gene", 100, 200, gene="rrnA"),  # rRNA gene without a CDS
+        feat("rRNA", 100, 200, locus_tag="R1"),
+        feat("gene", 300, 400, gene="gX", locus_tag="T1"),
+        feat("CDS", 300, 400, locus_tag="T1"),
+        feat("CDS", 500, 600, locus_tag="T2"),  # CDS without a gene feature
+    ]
+    assert _locus_name(150, features) == "rrnA"  # gene wins over rRNA
+    assert _locus_name(350, features) == "gX"  # gene wins over CDS
+    assert _locus_name(550, features) == "T2"  # CDS when no gene span
+    assert _locus_name(250, features) == "pos250"  # intergenic fallback
+    # CDS-only list (the old pipeline wiring) missed the rRNA gene
+    assert _locus_name(150, [f for f in features if f.type == "CDS"]) == "pos150"
+
+
 def test_create_tanglegram_outputs(tmp_path):
     tophits = pd.DataFrame(
         dict(
