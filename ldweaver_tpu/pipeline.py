@@ -683,7 +683,7 @@ def cleanup(dset: str, delete_after_moving: bool = False) -> None:
         (r"_links_annotated\.tsv$", "Annotated_links"),
         (r"_gwes.*\.png$", "GWESPlots"),
         (r"_tophits\.tsv$", "Tophits"),
-        (r"_network_plot\.png$", "Tophits"),
+        (r"_network_plot\.(png|html)$", "Tophits"),
         (r"_GWESExplorer$", "GWESExplorer"),
         (r"(snpEff|\.vcf$|annotations\.tsv$|_links\.tsv$|^LDW_run_)", "Temp"),
     ]

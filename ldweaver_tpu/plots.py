@@ -290,3 +290,17 @@ def create_network(tophits, netplot_path: str, plot_title: str = "") -> None:
     fig.tight_layout()
     fig.savefig(netplot_path)
     plt.close(fig)
+
+    # interactive companion (the reference ships igraph/ggraph objects a
+    # browser can explore; viz_html.py closes that artifact gap)
+    from ldweaver_tpu.viz_html import write_network_html
+
+    base, _ = os.path.splitext(netplot_path)
+    keys = sorted(pairs)
+    write_network_html(
+        [a for a, _ in keys],
+        [b for _, b in keys],
+        np.array([weight[k] for k in keys]),
+        base + ".html",
+        title=plot_title or "GWES network",
+    )

@@ -147,6 +147,17 @@ def create_tanglegram(
         index=False,
     )
 
+    # interactive companion (the reference ships chromoMap htmlwidgets,
+    # R/createTanglegram.R:278-293; viz_html.py closes that artifact gap)
+    from ldweaver_tpu.viz_html import write_tanglegram_html
+
+    write_tanglegram_html(
+        pos1, pos2, tophits["MI"].to_numpy(), segs,
+        lambda p: _locus_name(p, features),
+        os.path.join(tanglegram_folder, "tanglegram.html"),
+        links_type=links_type,
+    )
+
     for s in np.unique(segs):
         sel = segs == s
         p1 = pos1[sel]
