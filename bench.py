@@ -200,6 +200,7 @@ def leg_pipeline():
         ref=np.array(["A"] * nsnp), alt=np.array([""] * nsnp),
         allele_table=sd.acgtn_table, nclust=nclust,
     )
+    phases: dict = {}
     with tempfile.TemporaryDirectory() as td:
         t0 = time.time()
         links = perform_mi_computation(
@@ -208,7 +209,7 @@ def leg_pipeline():
             sr_save_path=f"{td}/sr_links.tsv",
             plt_folder=None, sr_dist=SR_DIST, lr_retain_links=1e6,
             max_blk_sz=BLOCK, srp_cutoff=3.0, backend="spmd",
-            verbose=False,
+            verbose=False, phase_timings=phases,
         )
         wall = time.time() - t0
         n_lr_rows = sum(1 for _ in open(f"{td}/lr_links.tsv"))
@@ -220,6 +221,7 @@ def leg_pipeline():
         pipeline_nseq=nseq,
         pipeline_sr_links=int(len(links)),
         pipeline_lr_rows=n_lr_rows,
+        pipeline_phases=phases,
     )
 
 

@@ -776,6 +776,7 @@ def perform_mi_computation(
     device_budget_bytes: Optional[int] = None,
     pipeline_depth: int = 4,
     n_devices: Optional[int] = None,
+    phase_timings: Optional[dict] = None,
 ):
     """Full MI computation + background model + ARACNE + TSV outputs.
 
@@ -787,6 +788,9 @@ def perform_mi_computation(
     many tiles are dispatched ahead of host extraction PER DEVICE;
     n_devices round-robins fast-path tiles over that many local devices
     (None = all local devices; outputs are device-count invariant).
+    phase_timings, if given a dict, is filled with the wall-clock split
+    (sweep / background fit / aracne / sr write, plus the SPMD driver's
+    dispatch-pull-emit stats) for benchmarking and observability.
     """
     t000 = time.time()
     # the reference rounds the block size to a 1000-multiple (:69); that
@@ -896,7 +900,7 @@ def perform_mi_computation(
         # the device-resident extraction OUTPUT per in-flight segment.
         from ldweaver_tpu.parallel.spmd_sweep import spmd_blk5_sweep
 
-        spmd_blk5_sweep(
+        _spmd_stats = spmd_blk5_sweep(
             snp_data,
             np.asarray(hdw, dtype=np.float64),
             cds_var.paint,
@@ -912,6 +916,8 @@ def perform_mi_computation(
             out_budget_bytes=device_budget_bytes,
             verbose=verbose,
         )
+        if phase_timings is not None:
+            phase_timings["spmd"] = _spmd_stats
     elif backend == "fast":
         # rank-compacted, r-stratified fast path (see parallel/fast_sweep).
         # Tiles are dispatched `pipeline_depth` ahead of extraction (JAX
@@ -1038,10 +1044,12 @@ def perform_mi_computation(
                     f"done in {time.time() - t0:.2f} s"
                 )
 
+    _t_sweep_end = time.time()
     sr_tables = [LinkTable.concat(parts) for parts in sr_links]
     sr_links_red, sr_check, fits = merge_and_sort_sr_links(
         nclust, sr_tables, sr_dist, srp_cutoff
     )
+    _t_bg_end = time.time()
 
     if plt_folder is not None:
         os.makedirs(plt_folder, exist_ok=True)
@@ -1061,6 +1069,7 @@ def perform_mi_computation(
         sr_links_red.ARACNE = labels.astype(np.int64)
     else:
         sr_links_red.ARACNE = np.ones(len(sr_links_red), dtype=np.int64)
+    _t_aracne_end = time.time()
 
     if order_links and len(sr_links_red) > 0:  # :134-137
         order = np.argsort(-sr_links_red.srp_max, kind="stable")
@@ -1086,6 +1095,13 @@ def perform_mi_computation(
             for i in range(len(sr_links_red))
         ),
     )
+    if phase_timings is not None:
+        phase_timings.update(
+            sweep_s=round(_t_sweep_end - t000, 2),
+            background_s=round(_t_bg_end - _t_sweep_end, 2),
+            aracne_s=round(_t_aracne_end - _t_bg_end, 2),
+            sr_write_s=round(time.time() - _t_aracne_end, 2),
+        )
     if verbose:
         print(f"All done in {(time.time() - t000) / 60:.2f} mins")
     return sr_links_red

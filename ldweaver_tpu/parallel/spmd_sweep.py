@@ -647,6 +647,7 @@ def spmd_blk5_sweep(
     import time as _time
 
     debug = os.environ.get("LDW_SPMD_DEBUG") == "1"
+    t_phase = {"dispatch_s": 0.0, "pull_s": 0.0, "emit_s": 0.0}
 
     def drain_one():
         chunk, outs, t_disp = inflight.popleft()
@@ -654,6 +655,7 @@ def spmd_blk5_sweep(
         n_lr, exact, row_max, vals, idx, n_sr, sr_idx, sr_vals = (
             _pull_sharded(o) for o in outs
         )
+        t_phase["pull_s"] += _time.time() - t0
         if debug:
             print(
                 f"  spmd segment: {len(chunk)} tiles, dispatch {t_disp:.2f}s,"
@@ -691,6 +693,7 @@ def spmd_blk5_sweep(
                 _to_global(mesh, _local_rows(pair_valid, nsh), P("b")),
                 neff_dev, prob_dev,
             )
+            t_phase["dispatch_s"] += _time.time() - t0
             inflight.append((chunk, outs, _time.time() - t0))
             # double buffer: keep segment s+1 enqueued while pulling s
             while len(inflight) > 2:
@@ -750,11 +753,15 @@ def spmd_blk5_sweep(
             )
             stats["sr_pairs"] += int(sr_counts[bi, bj])
 
+    t_phase["emit_s"] = _time.time() - t_emit0
+    stats.update({k: round(v, 2) for k, v in t_phase.items()})
     if verbose or debug:
         print(
             f"SPMD sweep: {stats['tiles']} tiles over {nsh} device(s), "
             f"{stats['sr_pairs']} sr pairs, {stats['fallbacks']} fallbacks,"
-            f" emit {_time.time() - t_emit0:.2f}s",
+            f" dispatch {t_phase['dispatch_s']:.2f}s"
+            f" pull {t_phase['pull_s']:.2f}s"
+            f" emit {t_phase['emit_s']:.2f}s",
             flush=True,
         )
     return stats
