@@ -356,21 +356,31 @@ class FastTileRunner:
         return self._dispatch_full(bi, bj, slab_f, slab_t, di)
 
     def _sr_counts(self):
-        """Lazily computed exact SR pair counts per tile + ONE global pow2
-        cap (the cap is part of the extract compile key; a single cap
-        keeps the program count at one per (Rf, Rt, pure), matching the
-        SPMD bucket sweep)."""
+        """Lazily computed exact SR pair counts per tile + the pow-4
+        capacity ladder (spmd_sweep.sr_cap_ladder).  Each tile's SR cap is
+        its ladder class — the SAME rule the SPMD driver buckets by, so
+        both drivers compile the identical program per tile (byte-identity
+        invariant) while pull bytes track live links within 4x."""
         if getattr(self, "_sr_counts_cache", None) is None:
             from ldweaver_tpu.parallel.spmd_sweep import (
                 _next_pow2,
+                sr_cap_ladder,
                 sr_pair_counts,
             )
 
             counts = sr_pair_counts(
                 self.ranked, self.valid, self.g, self.sr_dist
             )
-            self._sr_counts_cache = (counts, _next_pow2(int(counts.max())))
+            self._sr_counts_cache = (
+                counts, sr_cap_ladder(_next_pow2(int(counts.max())))
+            )
         return self._sr_counts_cache
+
+    def _tile_cap(self, bi: int, bj: int) -> int:
+        from ldweaver_tpu.parallel.spmd_sweep import sr_cap_class
+
+        counts, ladder = self._sr_counts()
+        return sr_cap_class(int(counts[bi, bj]), ladder)
 
     def _dispatch_extract(self, bi, bj, slab_f, slab_t, di=0) -> dict:
         from ldweaver_tpu.parallel.spmd_sweep import _build_tile_extract
@@ -385,11 +395,12 @@ class FastTileRunner:
         val_t = self.valid[t_sl]
         r_f = ranked.r[f_sl]
         r_t = ranked.r[t_sl]
-        counts, cap = self._sr_counts()
+        counts, _ = self._sr_counts()
         cnt = int(counts[bi, bj])
         K, k_row = self._extract_dims()
         fn = _build_tile_extract(
-            B, int(self.sr_dist), int(self.g), K, k_row, cap,
+            B, int(self.sr_dist), int(self.g), K, k_row,
+            self._tile_cap(bi, bj),
             int(r_f.max()), int(r_t.max()), 3, pure=self._pure(bi, bj),
         )
         w32_d, wparts_d, neff_d = self._consts[di]
@@ -562,12 +573,11 @@ class FastTileRunner:
             return False
         bi, bj = pending["bi"], pending["bj"]
         di = pending.get("di", 0)
-        _, cap = self._sr_counts()
         w32_d, wparts_d, neff_d = self._consts[di]
         res2 = retry_tile_extract(
             self.ranked, self.valid, bi, bj, w32_d, wparts_d, neff_d,
             g=self.g, sr_dist=self.sr_dist, lr_prob=self.lr_prob,
-            K2=K2, k2=k2, P_sr=cap,
+            K2=K2, k2=k2, P_sr=self._tile_cap(bi, bj),
             slab_f=self.caches[di].get(bi), slab_t=self.caches[di].get(bj),
         )
         self.retries += 1

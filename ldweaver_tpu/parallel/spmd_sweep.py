@@ -121,6 +121,38 @@ def _next_pow2(n: int, lo: int = 8) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
 
+def sr_cap_ladder(cap_top: int, lo: int = 1 << 15) -> Tuple[int, ...]:
+    """Pow-4 SR-capacity ladder {lo, 4*lo, ...} clamped at cap_top.
+
+    One GLOBAL pow2 cap (the round-2 design) pads every tile to the
+    densest tile's SR count; at the 131k-SNP bench shape that pulled
+    17.7 GB for 1.25 GB of live links (r-stratification's stable sort
+    keeps genomic order inside each r stratum, so near-diagonal tiles
+    hold ~4M SR pairs while the median tile holds ZERO).  A pow-4 ladder
+    bounds padding at 4x live while keeping the program count at
+    O(#buckets * ~4) — each extra cap class is one more ~15 s relay
+    compile, so finer (pow2) classes don't pay for themselves."""
+    if cap_top <= lo:
+        return (cap_top,)
+    caps = []
+    c = lo
+    while c < cap_top:
+        caps.append(c)
+        c *= 4
+    caps.append(cap_top)
+    return tuple(caps)
+
+
+def sr_cap_class(count: int, ladder: Tuple[int, ...]) -> int:
+    """Smallest ladder capacity >= count (tiles sharing a class share one
+    compiled program; BOTH drivers use this rule so every tile compiles
+    the identical `_extract_body` — the byte-identity invariant)."""
+    for c in ladder:
+        if count <= c:
+            return c
+    return ladder[-1]
+
+
 def extract_dims(block: int, lr_prob: Optional[float],
                  k_max: int = 1 << 18) -> Tuple[int, int]:
     """(K, k_row) for the extraction top-K, sized from the retention
@@ -270,8 +302,8 @@ def _build_spmd_bucket_sweep(
     pure: bool,
 ):
     """shard_map'd scan over this bucket's block pairs (same Rf/Rt/pure
-    and the same next-pow2 SR cap, so every tile compiles the identical
-    `_extract_body` program as the pipelined driver)."""
+    and the same sr_cap_class ladder cap, so every tile compiles the
+    identical `_extract_body` program as the pipelined driver)."""
     mesh = _MESH_STORE[mesh_key]
     import jax
     import jax.numpy as jnp
@@ -592,20 +624,22 @@ def spmd_blk5_sweep(
     )
     K, k_row = extract_dims(B, lr_prob, k_max=topk_cap)
 
-    # exact SR counts + ONE GLOBAL pow2 cap (part of the compile key: a
-    # single cap means one program per (Rf, Rt, pure) bucket, matching
-    # the pipelined driver — per-tile caps multiplied 20-40 s relay
-    # compiles for no transfer saving, since r-stratification spreads SR
-    # pairs nearly uniformly over tiles)
+    # exact SR counts + the pow-4 capacity ladder (sr_cap_ladder): each
+    # tile's SR cap is its ladder class, so pull bytes track live links
+    # within 4x instead of padding every tile to the global max.  The cap
+    # joins the bucket key — tiles sharing (Rf, Rt, pure, cap) share one
+    # compiled program, identical to the pipelined driver's per-tile
+    # program (sr_cap_class is the shared rule).
     sr_counts = sr_pair_counts(ranked, valid, g, sr_dist)
-    P_cap = _next_pow2(int(sr_counts.max()))
-    buckets: Dict[Tuple[int, int, bool], List[Tuple[int, int]]] = {}
+    ladder = sr_cap_ladder(_next_pow2(int(sr_counts.max())))
+    buckets: Dict[Tuple[int, int, bool, int], List[Tuple[int, int]]] = {}
     for i in range(nb):
         for j in range(i, nb):
             key = (
                 int(ranked.block_rmax[i]),
                 int(ranked.block_rmax[j]),
                 bool(ranked.block_pure[i]) and bool(ranked.block_pure[j]),
+                sr_cap_class(int(sr_counts[i, j]), ladder),
             )
             buckets.setdefault(key, []).append((i, j))
 
@@ -624,23 +658,24 @@ def spmd_blk5_sweep(
     )
 
     # Segment each bucket's pair list so one in-flight segment's stacked
-    # scan outputs stay under the byte budget (module docstring).  All
-    # full segments of a bucket share one padded length (one compiled
-    # program); the remainder gets a second, exact-padded length.
-    per_tile_bytes = 8 * (K + P_cap) + 32
+    # scan outputs stay under the byte budget (module docstring).  The
+    # per-tile output size now varies by cap class, so segment length is
+    # per bucket; every segment of a bucket (including the remainder) is
+    # padded to ONE length -> exactly one compiled program per bucket
+    # (padding computes dead tiles at ~2 ms each, far cheaper than a
+    # second ~15 s relay compile; dead rows ride the pull only for the
+    # remainder segment).
     if out_budget_bytes is None:
         out_budget_bytes = _default_out_budget()
-    seg = max(1, out_budget_bytes // per_tile_bytes)
-    seg = max(nsh, (seg // nsh) * nsh)
 
-    segments: List[Tuple[Tuple[int, int, bool], List[Tuple[int, int]], int]] = []
+    segments: List[Tuple[Tuple[int, int, bool, int], List[Tuple[int, int]], int]] = []
     for key, plist in sorted(buckets.items(), key=lambda kv: -len(kv[1])):
+        per_tile_bytes = 8 * (K + key[3]) + 32
+        seg = max(1, out_budget_bytes // per_tile_bytes)
+        seg = max(nsh, (seg // nsh) * nsh)
+        seg = min(seg, len(plist) + ((-len(plist)) % nsh))
         for s0 in range(0, len(plist), seg):
-            chunk = plist[s0 : s0 + seg]
-            padded = seg if len(chunk) == seg else len(chunk) + (
-                (-len(chunk)) % nsh
-            )
-            segments.append((key, chunk, padded))
+            segments.append((key, plist[s0 : s0 + seg], seg))
 
     results: Dict[Tuple[int, int], TileExtract] = {}
     inflight: deque = deque()
@@ -677,7 +712,7 @@ def spmd_blk5_sweep(
             )
 
     with mesh:
-        for (Rf, Rt, pure), chunk, padded in segments:
+        for (Rf, Rt, pure, P_cls), chunk, padded in segments:
             t0 = _time.time()
             pairs = np.zeros((padded, 2), np.int32)
             pairs[: len(chunk)] = np.asarray(chunk, np.int32)
@@ -685,7 +720,7 @@ def spmd_blk5_sweep(
             pair_valid[: len(chunk)] = True
             fn = _build_spmd_bucket_sweep(
                 mesh_key, B, snp_data.nseq, int(sr_dist), int(g), K,
-                k_row, P_cap, Rf, Rt, 3, pure,
+                k_row, P_cls, Rf, Rt, 3, pure,
             )
             outs = fn(
                 codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
@@ -704,8 +739,10 @@ def spmd_blk5_sweep(
     t_emit0 = _time.time()
     stats = dict(
         tiles=0, fallbacks=0, retries=0, sr_pairs=0,
-        segments=len(segments), seg_tiles=int(seg),
-        out_bytes_per_segment=int(seg * per_tile_bytes),
+        segments=len(segments), programs=len(buckets),
+        pull_mb=round(
+            sum(p * (8 * (K + k[3]) + 32) for k, _, p in segments) / 1e6, 1
+        ),
     )
     # local single-device constants for retry/fallback dispatches
     import jax.numpy as jnp
@@ -736,7 +773,8 @@ def spmd_blk5_sweep(
                 res2 = retry_tile_extract(
                     ranked, valid, bi, bj, w32_loc, wparts_loc, neff_loc,
                     g=g, sr_dist=sr_dist, lr_prob=lr_prob,
-                    K2=K2, k2=k2, P_sr=P_cap,
+                    K2=K2, k2=k2,
+                    P_sr=sr_cap_class(int(sr_counts[bi, bj]), ladder),
                 )
                 stats["retries"] += 1
                 done = emit_tile_extract(res2, K=K2, **emit_kw)
