@@ -444,6 +444,36 @@ def retry_tile_extract(
     )
 
 
+def prepare_tile_emit(res: TileExtract, *, K: int, nclust: int,
+                      **emit_kw) -> Optional[tuple]:
+    """Run one tile's emission into LOCAL buffers (the numpy-heavy ~90% of
+    emit_tile_extract) so it can execute on a worker thread while the main
+    thread blocks on relay pulls.  Returns (per-cluster SR parts, captured
+    LR sink calls, n_sr), or None when the tile needs the retry/fallback
+    path.  Committing the buffers in panel order afterwards reproduces
+    emit_tile_extract's bytes exactly — same helper, same append order."""
+    local_sr: List[list] = [[] for _ in range(nclust)]
+    calls: List[tuple] = []
+    ok = emit_tile_extract(
+        res, K=K, sr_links=local_sr,
+        lr_rows_sink=lambda *cols: calls.append(cols), **emit_kw
+    )
+    if not ok:
+        return None
+    return local_sr, calls, res.n_sr
+
+
+def commit_tile_emit(prep: tuple, sr_links: List[list],
+                     lr_rows_sink: Callable) -> int:
+    """Ordered, cheap counterpart of prepare_tile_emit."""
+    local_sr, calls, n_sr = prep
+    for ci, parts in enumerate(local_sr):
+        sr_links[ci].extend(parts)
+    for cols in calls:
+        lr_rows_sink(*cols)
+    return n_sr
+
+
 def emit_tile_extract(
     res: TileExtract,
     *,
@@ -677,12 +707,40 @@ def spmd_blk5_sweep(
         for s0 in range(0, len(plist), seg):
             segments.append((key, plist[s0 : s0 + seg], seg))
 
-    results: Dict[Tuple[int, int], TileExtract] = {}
+    results: Dict[Tuple[int, int], object] = {}
     inflight: deque = deque()
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     debug = os.environ.get("LDW_SPMD_DEBUG") == "1"
     t_phase = {"dispatch_s": 0.0, "pull_s": 0.0, "emit_s": 0.0}
+    nclust = len(sr_links)
+
+    def _tile_emit_kw(bi: int, bj: int) -> dict:
+        f_sl = slice(bi * B, (bi + 1) * B)
+        t_sl = slice(bj * B, (bj + 1) * B)
+        return dict(
+            B=B,
+            pos_f=ranked.pos[f_sl], pos_t=ranked.pos[t_sl],
+            pnt_f=paint_sorted[f_sl], pnt_t=paint_sorted[t_sl],
+            g=g, sr_dist=sr_dist, lr_prob=lr_prob,
+            expected_sr=int(sr_counts[bi, bj]),
+        )
+
+    def _prepare(res: TileExtract, bi: int, bj: int):
+        """Worker-thread tile preparation; returns (prep, None) on
+        success, (None, res) when the tile needs the on-device
+        retry/fallback (rare) so the main thread still has the result."""
+        prep = prepare_tile_emit(
+            res, K=K, nclust=nclust, **_tile_emit_kw(bi, bj)
+        )
+        return (prep, None) if prep is not None else (None, res)
+
+    # one worker: the numpy-heavy emission runs while the main thread
+    # blocks inside relay pulls / compiles (both release the GIL); a
+    # second worker would just contend with the puller on this 2-vCPU
+    # host when it is not blocked
+    pool = ThreadPoolExecutor(max_workers=1)
 
     def drain_one():
         chunk, outs, t_disp = inflight.popleft()
@@ -701,7 +759,7 @@ def spmd_blk5_sweep(
             nl = int(n_lr[s])
             ns = int(n_sr[s])
             ncand = min(nl, vals.shape[1])
-            results[(bi, bj)] = TileExtract(
+            res = TileExtract(
                 n_lr=nl, exact=bool(exact[s]),
                 # truncate to live entries so host memory tracks actual
                 # link counts, not the padded caps
@@ -710,6 +768,7 @@ def spmd_blk5_sweep(
                 sr_vals=sr_vals[s, :ns].copy(),
                 row_max=int(row_max[s]),
             )
+            results[(bi, bj)] = pool.submit(_prepare, res, bi, bj)
 
     with mesh:
         for (Rf, Rt, pure, P_cls), chunk, padded in segments:
@@ -752,20 +811,15 @@ def spmd_blk5_sweep(
     neff_loc = jnp.asarray(np.float32(neff))
 
     for bi, bj in panel_pair_order(nb, nb):
-        res = results[(bi, bj)]
+        prep, res = results.pop((bi, bj)).result()
         stats["tiles"] += 1
-        f_sl = slice(bi * B, (bi + 1) * B)
-        t_sl = slice(bj * B, (bj + 1) * B)
-        emit_kw = dict(
-            B=B,
-            pos_f=ranked.pos[f_sl], pos_t=ranked.pos[t_sl],
-            pnt_f=paint_sorted[f_sl], pnt_t=paint_sorted[t_sl],
-            g=g, sr_dist=sr_dist, lr_prob=lr_prob,
-            expected_sr=int(sr_counts[bi, bj]),
-            sr_links=sr_links, lr_rows_sink=lr_rows_sink,
-        )
-        done = emit_tile_extract(res, K=K, **emit_kw)
-        if not done and lr_prob is not None:
+        if prep is not None:  # common case: committed in panel order
+            stats["sr_pairs"] += commit_tile_emit(prep, sr_links, lr_rows_sink)
+            continue
+        emit_kw = _tile_emit_kw(bi, bj)
+        emit_kw.update(sr_links=sr_links, lr_rows_sink=lr_rows_sink)
+        done = False
+        if lr_prob is not None:
             # boosted-capacity retry before the full-tile transfer —
             # only when it moves fewer bytes than the B^2 f32 tile would
             K2, k2 = retry_dims(res, B, lr_prob, K, k_row)
@@ -778,10 +832,8 @@ def spmd_blk5_sweep(
                 )
                 stats["retries"] += 1
                 done = emit_tile_extract(res2, K=K2, **emit_kw)
-                if done:
-                    res = res2
         if done:
-            stats["sr_pairs"] += res.n_sr
+            stats["sr_pairs"] += res2.n_sr
         else:
             stats["fallbacks"] += 1
             _fallback_full_tile(
@@ -791,6 +843,7 @@ def spmd_blk5_sweep(
             )
             stats["sr_pairs"] += int(sr_counts[bi, bj])
 
+    pool.shutdown()
     t_phase["emit_s"] = _time.time() - t_emit0
     stats.update({k: round(v, 2) for k, v in t_phase.items()})
     if verbose or debug:
