@@ -543,15 +543,17 @@ def emit_tile_extract(
 # --------------------------------------------------------------------------
 def _to_global(mesh, x, spec):
     """Commit a host array as a global array with the given PartitionSpec.
-    Single-process: a plain device transfer.  Multi-process: the caller
-    passes this process's HOST-LOCAL chunk (the full array for replicated
-    specs) and jax assembles the global view."""
+    Single-process: a device_put with the explicit NamedSharding (COMMITTED,
+    so AOT-compiled executables accept it without resharding).
+    Multi-process: the caller passes this process's HOST-LOCAL chunk (the
+    full array for replicated specs) and jax assembles the global view."""
     import jax
-    import jax.numpy as jnp
 
     x = np.asarray(x)
     if jax.process_count() == 1:
-        return jnp.asarray(x)
+        from jax.sharding import NamedSharding
+
+        return jax.device_put(x, NamedSharding(mesh, spec))
     from jax.experimental import multihost_utils
 
     return multihost_utils.host_local_array_to_global_array(x, mesh, spec)
@@ -770,17 +772,49 @@ def spmd_blk5_sweep(
             )
             results[(bi, bj)] = pool.submit(_prepare, res, bi, bj)
 
+    def _aot_compile(key: Tuple[int, int, bool, int], padded: int):
+        """AOT-compile one bucket program.  Runs on a small worker pool:
+        PJRT compilation releases the GIL (and executes server-side
+        through the relay, ~15-40 s per program), so compiles overlap the
+        main thread's pulls instead of serialising with them — at the
+        131k bench shape compilation was 382 s of the 603 s sweep.
+        Falls back to the plain jit fn if AOT lowering is unavailable."""
+        Rf, Rt, pure, P_cls = key
+        fn = _build_spmd_bucket_sweep(
+            mesh_key, B, snp_data.nseq, int(sr_dist), int(g), K,
+            k_row, P_cls, Rf, Rt, 3, pure,
+        )
+        try:
+            import jax
+            from jax.sharding import NamedSharding
+
+            shb = NamedSharding(mesh, P("b"))
+            lowered = fn.lower(
+                codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
+                jax.ShapeDtypeStruct((padded, 2), np.int32, sharding=shb),
+                jax.ShapeDtypeStruct((padded,), np.bool_, sharding=shb),
+                neff_dev, prob_dev,
+            )
+            return lowered.compile()
+        except Exception:
+            return fn
+
+    compile_pool = ThreadPoolExecutor(max_workers=2)
+    prog_futs = {}
+    for key, _chunk, padded in segments:  # dispatch order == submit order
+        if (key, padded) not in prog_futs:
+            prog_futs[(key, padded)] = compile_pool.submit(
+                _aot_compile, key, padded
+            )
+
     with mesh:
-        for (Rf, Rt, pure, P_cls), chunk, padded in segments:
+        for key, chunk, padded in segments:
             t0 = _time.time()
             pairs = np.zeros((padded, 2), np.int32)
             pairs[: len(chunk)] = np.asarray(chunk, np.int32)
             pair_valid = np.zeros(padded, bool)
             pair_valid[: len(chunk)] = True
-            fn = _build_spmd_bucket_sweep(
-                mesh_key, B, snp_data.nseq, int(sr_dist), int(g), K,
-                k_row, P_cls, Rf, Rt, 3, pure,
-            )
+            fn = prog_futs[(key, padded)].result()
             outs = fn(
                 codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
                 _to_global(mesh, _local_rows(pairs, nsh), P("b")),
@@ -844,6 +878,7 @@ def spmd_blk5_sweep(
             stats["sr_pairs"] += int(sr_counts[bi, bj])
 
     pool.shutdown()
+    compile_pool.shutdown()
     t_phase["emit_s"] = _time.time() - t_emit0
     stats.update({k: round(v, 2) for k, v in t_phase.items()})
     if verbose or debug:
