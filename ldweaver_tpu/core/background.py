@@ -76,7 +76,7 @@ class SrLinks:
 
 
 def _len_sort(lens: np.ndarray):
-    """(order, lens_sorted, uniq, group_bounds, int_key) for the
+    """(order, uniq, group_bounds, int_key) for the
     per-distance grouping.  Circular distances are exact (half-)integers
     (integral for even g, .5 steps for odd g — positions are ints), so a
     stable argsort on the int32 key 2*len (radix, O(n)) replaces the f64
@@ -95,24 +95,22 @@ def _len_sort(lens: np.ndarray):
     ):
         k32 = k.astype(np.int32)
         order = np.argsort(k32, kind="stable")
-        counts = np.bincount(k32[order])
+        counts = np.bincount(k32)  # pre-sort: bincount is order-free
         nz = np.flatnonzero(counts)
         starts = np.zeros(nz.size, dtype=np.int64)
         np.cumsum(counts[nz][:-1], out=starts[1:])
-        lens_sorted = lens[order]
-        uniq = lens_sorted[starts]
+        uniq = nz / 2.0  # exact: uniq values are dyadic by construction
     else:
         k = None
         order = np.argsort(lens, kind="stable")
-        lens_sorted = lens[order]
-        uniq, starts = np.unique(lens_sorted, return_index=True)
-    return order, lens_sorted, uniq, np.append(starts, lens.size), k
+        uniq, starts = np.unique(lens[order], return_index=True)
+    return order, uniq, np.append(starts, lens.size), k
 
 
 def _fit_from_sorted(lens: np.ndarray, mi: np.ndarray):
     """(ClusterFit, int_key) — the shared fit core; the int key is reused
     by _fit_lookup_key so the merge never re-truncates 1e8 f64 lens."""
-    order, lens_sorted, uniq, bounds, k = _len_sort(lens)
+    order, uniq, bounds, k = _len_sort(lens)
     mi_sorted = mi[order]
     q95 = np.empty(uniq.size, dtype=np.float64)
     for gi in range(uniq.size):
