@@ -44,6 +44,17 @@ s is pulled, bounding device output memory to one budget while transfers
 overlap compute.  Segment boundaries cannot change any output byte — the
 scan body is identical and emission happens tile-by-tile on host.
 
+**Relay-latency engineering (round 3).**  Per-tile SR caps come from the
+pow-4 `sr_cap_ladder` so pull bytes track live links within 4x (a single
+global cap pulled 17.7 GB for 1.25 GB live at the bench shape); every
+bucket program is AOT-compiled on a worker pool so the 15-40 s relay
+compiles overlap pulls; and tile emission PREPARES on a worker thread as
+results land, committing in panel order afterwards (emission bytes
+unchanged).  Measured on the v5e relay at 131k SNPs x 616 seqs: the full
+production leg went 1584 s -> 857 s (caps + emit overlap) -> 663 s (AOT
+compile overlap: dispatch 382 s -> 38 s), with identical TSV row counts
+at every step.
+
 Outputs of the SPMD driver are sharded along the pair axis (`P('b')`).
 Under multi-process (`jax.process_count() > 1`) each host feeds its
 addressable slice of the pair list, reads back only its addressable
