@@ -91,6 +91,12 @@ def _len_sort(lens: np.ndarray):
         k.size
         and (k >= 0).all()
         and int(k.max()) < (1 << 31)
+        # bincount allocates max_key+1 slots: bound it by the input size
+        # (sr-merge lens are < sr_dist so this always holds there) so a
+        # sparse huge key through the PUBLIC fit_cluster_background entry
+        # cannot trigger a multi-GB allocation — the sort path is O(n)
+        # memory and identical in output
+        and int(k.max()) <= max(8 * k.size, 1 << 20)
         and np.array_equal(k, key2)
     ):
         k32 = k.astype(np.int32)
@@ -295,8 +301,14 @@ def merge_and_sort_sr_links(
         # 1e8-row production scale).  Positions beyond 2^31 (no bacterial
         # genome) fall back to the structured key.
         n = len(dups)
+        # both positions must fit 31 bits (pos1 is NOT bounded by pos2 —
+        # SR emission keeps the reference orientation) and be
+        # non-negative, else pos1 << 31 would overflow and corrupt the
+        # group order vs the structured-key path
         if dups.pos2.size and int(dups.pos2.max()) < (1 << 31) and int(
-            dups.pos1.min()
+            dups.pos1.max()
+        ) < (1 << 31) and int(dups.pos1.min()) >= 0 and int(
+            dups.pos2.min()
         ) >= 0:
             key = (np.asarray(dups.pos1, np.int64) << 31) | np.asarray(
                 dups.pos2, np.int64

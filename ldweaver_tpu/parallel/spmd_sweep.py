@@ -62,6 +62,19 @@ shards, and the per-segment results are `process_allgather`'d so EVERY
 host holds the full extraction results and emits identically; callers
 gate file writes on `multihost.is_writer()` (tests/test_multihost.py
 drives this driver itself with 2 real processes).
+
+**Collective ordering under multi-process.**  gloo (and every XLA
+collective backend) requires all processes to launch cross-process
+collectives in the SAME order.  The single-process relay optimisation
+fans the eight per-segment pulls across a 6-stream pool with two
+segments draining concurrently — thread-schedule-dependent order, which
+is fine for plain device->host copies but aborts gloo (`Received data
+size doesn't match expected size`, the round-3 regression).  When
+`process_count() > 1` every pool that issues collectives is therefore
+sized to ONE worker: drains run strictly in dispatch order and each
+segment's eight `process_allgather`s run serially in array order —
+deterministic on every rank by construction.  Concurrency stays on for
+the single-process relay case, where it is a measured 4x on pull wall.
 """
 
 from __future__ import annotations
@@ -602,9 +615,12 @@ def _pull_sharded(o) -> np.ndarray:
 
 
 def _default_out_budget() -> int:
-    """Device bytes one in-flight extraction segment may occupy.  Two
-    segments are in flight (double buffer), so the device holds at most
-    2x this in scan outputs.  Overridable via LDW_SPMD_OUT_BUDGET."""
+    """Device bytes one in-flight extraction segment may occupy.  At most
+    FOUR segments' outputs are live on device at once (two enqueued by
+    the double-buffered dispatch loop + up to two whose drains are still
+    pulling), so the device holds at most 4x this in scan outputs —
+    1 GiB at the default on a 16 GB v5e.  Overridable via
+    LDW_SPMD_OUT_BUDGET."""
     env = os.environ.get("LDW_SPMD_OUT_BUDGET")
     if env:
         return int(env)
@@ -758,9 +774,17 @@ def spmd_blk5_sweep(
     # pulls measured 40 MB/s aggregate vs 9 MB/s serial (pull_s was 350 s
     # of the 663 s leg).  Two segments drain concurrently, each pulling
     # its eight output arrays (two of them large) through a shared
-    # 6-stream pool.
-    pull_pool = ThreadPoolExecutor(max_workers=6)
-    drain_pool = ThreadPoolExecutor(max_workers=2)
+    # 6-stream pool.  Multi-process runs MUST instead issue their
+    # collectives (the allgathers inside _pull_sharded) in one
+    # deterministic order on every rank, so both pools collapse to a
+    # single worker: drains execute FIFO in dispatch order, and each
+    # drain's eight allgathers run serially in array order (module
+    # docstring, "Collective ordering under multi-process").
+    import jax
+
+    multiproc = jax.process_count() > 1
+    pull_pool = ThreadPoolExecutor(max_workers=1 if multiproc else 6)
+    drain_pool = ThreadPoolExecutor(max_workers=1 if multiproc else 2)
     pending_drains: deque = deque()
 
     def _drain_segment(chunk, outs, t_disp):
@@ -794,7 +818,10 @@ def spmd_blk5_sweep(
 
     def drain_one():
         pending_drains.append(drain_pool.submit(_drain_segment, *inflight.popleft()))
-        while len(pending_drains) > 2:
+        # <=2 drains in flight: together with the <=2-deep dispatch queue
+        # this bounds live scan outputs at 4x out_budget_bytes (see
+        # _default_out_budget)
+        while len(pending_drains) >= 2:
             pending_drains.popleft().result()
 
     def _aot_compile(key: Tuple[int, int, bool, int], padded: int):
@@ -824,7 +851,9 @@ def spmd_blk5_sweep(
         except Exception:
             return fn
 
-    compile_pool = ThreadPoolExecutor(max_workers=2)
+    # compiles are process-local (no collectives), but keep them in one
+    # deterministic order under multi-process as cheap insurance
+    compile_pool = ThreadPoolExecutor(max_workers=1 if multiproc else 2)
     prog_futs = {}
     for key, _chunk, padded in segments:  # dispatch order == submit order
         if (key, padded) not in prog_futs:
@@ -832,82 +861,88 @@ def spmd_blk5_sweep(
                 _aot_compile, key, padded
             )
 
-    with mesh:
-        for key, chunk, padded in segments:
-            t0 = _time.time()
-            pairs = np.zeros((padded, 2), np.int32)
-            pairs[: len(chunk)] = np.asarray(chunk, np.int32)
-            pair_valid = np.zeros(padded, bool)
-            pair_valid[: len(chunk)] = True
-            fn = prog_futs[(key, padded)].result()
-            outs = fn(
-                codes_dev, wparts_dev, w32_dev, r_dev, pos_dev, valid_dev,
-                _to_global(mesh, _local_rows(pairs, nsh), P("b")),
-                _to_global(mesh, _local_rows(pair_valid, nsh), P("b")),
-                neff_dev, prob_dev,
-            )
-            t_phase["dispatch_s"] += _time.time() - t0
-            inflight.append((chunk, outs, _time.time() - t0))
-            # double buffer: keep segment s+1 enqueued while pulling s
-            while len(inflight) > 2:
-                drain_one()
-        while inflight:
-            drain_one()
-        while pending_drains:  # join (and surface exceptions from) drains
-            pending_drains.popleft().result()
-
-    t_emit0 = _time.time()
-    stats = dict(
-        tiles=0, fallbacks=0, retries=0, sr_pairs=0,
-        segments=len(segments), programs=len(buckets),
-        pull_mb=round(
-            sum(p * (8 * (K + k[3]) + 32) for k, _, p in segments) / 1e6, 1
-        ),
-    )
-    # local single-device constants for retry/fallback dispatches
-    import jax.numpy as jnp
-
-    w32_loc = jnp.asarray(w32)
-    wparts_loc = jnp.asarray(wparts)
-    neff_loc = jnp.asarray(np.float32(neff))
-
-    for bi, bj in panel_pair_order(nb, nb):
-        prep, res = results.pop((bi, bj)).result()
-        stats["tiles"] += 1
-        if prep is not None:  # common case: committed in panel order
-            stats["sr_pairs"] += commit_tile_emit(prep, sr_links, lr_rows_sink)
-            continue
-        emit_kw = _tile_emit_kw(bi, bj)
-        emit_kw.update(sr_links=sr_links, lr_rows_sink=lr_rows_sink)
-        done = False
-        if lr_prob is not None:
-            # boosted-capacity retry before the full-tile transfer —
-            # only when it moves fewer bytes than the B^2 f32 tile would
-            K2, k2 = retry_dims(res, B, lr_prob, K, k_row)
-            if K2 * 8 < B * B * 4:
-                res2 = retry_tile_extract(
-                    ranked, valid, bi, bj, w32_loc, wparts_loc, neff_loc,
-                    g=g, sr_dist=sr_dist, lr_prob=lr_prob,
-                    K2=K2, k2=k2,
-                    P_sr=sr_cap_class(int(sr_counts[bi, bj]), ladder),
+    try:
+        with mesh:
+            for key, chunk, padded in segments:
+                t0 = _time.time()
+                pairs = np.zeros((padded, 2), np.int32)
+                pairs[: len(chunk)] = np.asarray(chunk, np.int32)
+                pair_valid = np.zeros(padded, bool)
+                pair_valid[: len(chunk)] = True
+                fn = prog_futs[(key, padded)].result()
+                outs = fn(
+                    codes_dev, wparts_dev, w32_dev, r_dev, pos_dev,
+                    valid_dev,
+                    _to_global(mesh, _local_rows(pairs, nsh), P("b")),
+                    _to_global(mesh, _local_rows(pair_valid, nsh), P("b")),
+                    neff_dev, prob_dev,
                 )
-                stats["retries"] += 1
-                done = emit_tile_extract(res2, K=K2, **emit_kw)
-        if done:
-            stats["sr_pairs"] += res2.n_sr
-        else:
-            stats["fallbacks"] += 1
-            _fallback_full_tile(
-                ranked, valid, paint_sorted, bi, bj,
-                w32_loc, wparts_loc, neff_loc,
-                g, sr_dist, lr_prob, sr_links, lr_rows_sink,
-            )
-            stats["sr_pairs"] += int(sr_counts[bi, bj])
+                t_phase["dispatch_s"] += _time.time() - t0
+                inflight.append((chunk, outs, _time.time() - t0))
+                # double buffer: keep segment s+1 enqueued while pulling s
+                while len(inflight) >= 2:
+                    drain_one()
+            while inflight:
+                drain_one()
+            while pending_drains:  # join (+ surface exceptions of) drains
+                pending_drains.popleft().result()
 
-    pool.shutdown()
-    compile_pool.shutdown()
-    pull_pool.shutdown()
-    drain_pool.shutdown()
+        t_emit0 = _time.time()
+        stats = dict(
+            tiles=0, fallbacks=0, retries=0, sr_pairs=0,
+            segments=len(segments), programs=len(buckets),
+            pull_mb=round(
+                sum(p * (8 * (K + k[3]) + 32) for k, _, p in segments)
+                / 1e6, 1
+            ),
+        )
+        # local single-device constants for retry/fallback dispatches
+        import jax.numpy as jnp
+
+        w32_loc = jnp.asarray(w32)
+        wparts_loc = jnp.asarray(wparts)
+        neff_loc = jnp.asarray(np.float32(neff))
+
+        for bi, bj in panel_pair_order(nb, nb):
+            prep, res = results.pop((bi, bj)).result()
+            stats["tiles"] += 1
+            if prep is not None:  # common case: committed in panel order
+                stats["sr_pairs"] += commit_tile_emit(
+                    prep, sr_links, lr_rows_sink
+                )
+                continue
+            emit_kw = _tile_emit_kw(bi, bj)
+            emit_kw.update(sr_links=sr_links, lr_rows_sink=lr_rows_sink)
+            done = False
+            if lr_prob is not None:
+                # boosted-capacity retry before the full-tile transfer —
+                # only when it moves fewer bytes than the B^2 f32 tile
+                K2, k2 = retry_dims(res, B, lr_prob, K, k_row)
+                if K2 * 8 < B * B * 4:
+                    res2 = retry_tile_extract(
+                        ranked, valid, bi, bj, w32_loc, wparts_loc,
+                        neff_loc, g=g, sr_dist=sr_dist, lr_prob=lr_prob,
+                        K2=K2, k2=k2,
+                        P_sr=sr_cap_class(int(sr_counts[bi, bj]), ladder),
+                    )
+                    stats["retries"] += 1
+                    done = emit_tile_extract(res2, K=K2, **emit_kw)
+            if done:
+                stats["sr_pairs"] += res2.n_sr
+            else:
+                stats["fallbacks"] += 1
+                _fallback_full_tile(
+                    ranked, valid, paint_sorted, bi, bj,
+                    w32_loc, wparts_loc, neff_loc,
+                    g, sr_dist, lr_prob, sr_links, lr_rows_sink,
+                )
+                stats["sr_pairs"] += int(sr_counts[bi, bj])
+    finally:
+        # exception-safe: a failure anywhere above must not leak pools —
+        # ThreadPoolExecutor's atexit join could then block interpreter
+        # exit on a wedged relay pull (CLAUDE.md: never kill a TPU client)
+        for p in (pool, compile_pool, pull_pool, drain_pool):
+            p.shutdown(cancel_futures=True)
     t_phase["emit_s"] = _time.time() - t_emit0
     stats.update({k: round(v, 2) for k, v in t_phase.items()})
     if verbose or debug:
