@@ -247,10 +247,12 @@ def leg_streaming():
     assert state.streaming, "budget did not force streaming"
     fast_lr_topk(state=state, sr_dist=SR_DIST, topk=1024)  # warmup/compile
     u0 = sum(c.uploads for c in state.slab_caches)
+    s0 = sum(c.upload_s for c in state.slab_caches)
     t0 = time.time()
     pos1, pos2, mi = fast_lr_topk(state=state, sr_dist=SR_DIST, topk=1024)
     wall = time.time() - t0
     uploads = sum(c.uploads for c in state.slab_caches) - u0
+    upload_s = sum(c.upload_s for c in state.slab_caches) - s0
     assert mi.size > 0
     pairs_count = nsnp * (nsnp - 1) // 2
     return dict(
@@ -259,6 +261,10 @@ def leg_streaming():
         streaming_nsnp=nsnp,
         streaming_nseq=nseq,
         streaming_uploads=int(uploads),
+        # wall spent inside device_put across upload threads; prefetch
+        # overlaps it with compute, so upload_s > wall is possible and
+        # means the overlap is working (VERDICT r3 next-#7)
+        streaming_upload_s=round(upload_s, 2),
         streaming_slab_mb=round(slab_bytes / 1e6, 1),
         streaming_budget_mb=round(budget / 1e6, 1),
     )
@@ -338,9 +344,20 @@ def _run_leg_subprocess(leg: str) -> dict:
     never killed, CLAUDE.md).  The child prints one JSON line on its last
     stdout line; a crashed child yields a {leg}_error entry without
     touching the other legs."""
+    env = os.environ.copy()
+    # XLA persistent compilation cache: bucket programs cost 15-40 s EACH
+    # to compile through the relay; the cache amortises them across legs
+    # and runs (a standard production feature — jax falls back silently
+    # when the backend cannot serialise executables)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--leg", leg],
-        capture_output=True, text=True, env=os.environ.copy(),
+        capture_output=True, text=True, env=env,
     )
     if proc.returncode != 0:
         tail = (proc.stderr or proc.stdout or "").strip().splitlines()

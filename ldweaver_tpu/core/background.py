@@ -198,10 +198,6 @@ def merge_and_sort_sr_links(
     if nclust != len(sr_links_per_clust):
         raise ValueError("Cluster mismatch detected, stopping!")  # :405
 
-    per_cluster_rows: List[SrLinks] = []
-    dup_rows: List[SrLinks] = []
-    fits: Dict[int, ClusterFit] = {}
-
     def _one_cluster(ci: int):
         """Steps 1-6 for one cluster (independent of the others, so the
         clusters run on a small thread pool — the heavy numpy/scipy calls
@@ -251,6 +247,80 @@ def merge_and_sort_sr_links(
             cluster_results = list(ex.map(_one_cluster, range(1, nclust + 1)))
     else:
         cluster_results = [_one_cluster(1)]
+
+    return _merge_rows(cluster_results, srp_cutoff)
+
+
+def merge_and_sort_sr_links_from_candidates(
+    nclust: int,
+    cand_tables: List[LinkTable],
+    fits_prelim: Dict[int, ClusterFit],
+    sr_dist: int,
+    srp_cutoff: float,
+) -> Tuple[SrLinks, SrLinks, Dict[int, ClusterFit]]:
+    """mergeNsort_sr_links when steps 1-4 already ran ON DEVICE
+    (parallel/sr_reduce.py): `fits_prelim` holds the per-cluster decay
+    fits re-derived on host from the device group statistics (bit-equal
+    to fit_cluster_background over the full link set — same two order
+    statistics, same f64 interpolation/OLS), and `cand_tables[c-1]` holds
+    a SUPERSET of cluster c's positive-residual links in the canonical
+    emission order (panel tile order, row-major within tile).  Steps 5-7
+    (beta MLE, srp, cross-cluster dedup, cutoff, ARACNE check pool) run
+    on the candidates exactly as the host oracle runs them on the full
+    table: every f64 reduction sees the identical value sequence, so
+    outputs are byte-identical to `merge_and_sort_sr_links` (the
+    conservative f32 threshold band only adds rows with diff <= 0, which
+    the strict `diff > 0` filter drops before any reduction)."""
+    if nclust != len(cand_tables):
+        raise ValueError("Cluster mismatch detected, stopping!")
+    cluster_results = []
+    for ci in range(1, nclust + 1):
+        t = cand_tables[ci - 1]
+        fit = fits_prelim.get(ci)
+        if fit is None or len(t) == 0:
+            cluster_results.append(None)
+            continue
+        keep = (
+            ~np.isnan(t.len) & (t.len < sr_dist) & (t.len > 0)
+        )  # no-op by construction (device filters the same range); parity
+        if not keep.all():
+            t = t.take(np.flatnonzero(keep))
+        if len(t) == 0:
+            cluster_results.append(None)
+            continue
+        mean_dist = fit_lookup(fit, t.len)
+        diff = t.MI - mean_dist
+        with np.errstate(invalid="ignore"):
+            pos_mask = diff > 0
+        pos_idx = np.flatnonzero(pos_mask)
+        if pos_idx.size == 0:
+            cluster_results.append(None)
+            continue
+        a, b = fit_beta_mle(diff[pos_idx])
+        fit.beta_shape = (a, b)
+        srp = -log_beta_sf(diff[pos_idx], a, b)
+        kept = t.take(pos_idx)
+        rows = SrLinks(
+            clust_c=np.full(pos_idx.size, ci, dtype=np.int64),
+            pos1=kept.pos1,
+            pos2=kept.pos2,
+            clust1=kept.clust1,
+            clust2=kept.clust2,
+            len=kept.len,
+            MI=kept.MI,
+            srp_max=np.asarray(srp, dtype=np.float64),
+        )
+        cluster_results.append((fit, rows))
+    return _merge_rows(cluster_results, srp_cutoff)
+
+
+def _merge_rows(cluster_results, srp_cutoff: float):
+    """Steps 6-7 shared by the host oracle and the device-reduce path:
+    cross-cluster dedup keeping the first row achieving the group-max
+    srp, the srp cutoff, and the ARACNE check pool."""
+    per_cluster_rows: List[SrLinks] = []
+    dup_rows: List[SrLinks] = []
+    fits: Dict[int, ClusterFit] = {}
 
     for ci, result in enumerate(cluster_results, start=1):
         if result is None:

@@ -496,12 +496,28 @@ class FastTileRunner:
 
     # -- finish: pull + host extraction ----------------------------------
     def finish(self, pending: dict, lr_rows_sink: Callable) -> None:
+        lr_only = False
         if pending["kind"] in ("summary", "extract"):
             if pending["kind"] == "summary":
                 done = self._finish_summary(pending, lr_rows_sink)
             else:
                 done = self._finish_extract(pending, lr_rows_sink)
                 if not done:
+                    # the LR certificate failed but SR compaction is
+                    # exact regardless: emit SR once from the PRIMARY
+                    # extraction program (single source — retry/fallback
+                    # programs can differ at f32 ulp; same policy as the
+                    # SPMD driver) and redo only the LR side
+                    from ldweaver_tpu.parallel.spmd_sweep import (
+                        emit_tile_extract,
+                    )
+
+                    kw = self._emit_kw(pending)
+                    kw["lr_rows_sink"] = lr_rows_sink
+                    emit_tile_extract(
+                        pending["res"], K=self._K, parts="sr", **kw
+                    )
+                    lr_only = True
                     done = self._retry_extract(pending, lr_rows_sink)
             if done:
                 self._summary_ok += 1
@@ -518,6 +534,7 @@ class FastTileRunner:
             pending = self._dispatch_full(
                 bi, bj, self.caches[di].get(bi), self.caches[di].get(bj), di
             )
+            pending["lr_only"] = lr_only
         self._finish_full(pending, lr_rows_sink)
 
     def _emit_kw(self, pending: dict) -> dict:
@@ -583,7 +600,9 @@ class FastTileRunner:
         self.retries += 1
         kw = self._emit_kw(pending)
         kw["lr_rows_sink"] = lr_rows_sink
-        return emit_tile_extract(res2, K=K2, **kw)
+        # LR only: the tile's SR was already emitted from the primary
+        # extraction (finish(); single-source policy)
+        return emit_tile_extract(res2, K=K2, parts="lr", **kw)
 
     def _finish_summary(self, pending: dict, lr_rows_sink: Callable) -> bool:
         ranked = self.ranked
@@ -664,9 +683,15 @@ class FastTileRunner:
         ii, jj = ii[ok], jj[ok]
         if ii.size == 0:
             return
+        # as an extract-fallback the tile's SR links were already
+        # single-sourced from the primary extraction: discard SR here
+        sr_links = (
+            [[] for _ in self.sr_links] if pending.get("lr_only")
+            else self.sr_links
+        )
         _emit_pairs(
             ii, jj, mi[ii, jj], pos_f, pos_t, paint_f, paint_t, self.g,
-            self.sr_dist, self.lr_prob, self.sr_links, lr_rows_sink,
+            self.sr_dist, self.lr_prob, sr_links, lr_rows_sink,
         )
 
 
@@ -787,6 +812,7 @@ def perform_mi_computation(
     pipeline_depth: int = 4,
     n_devices: Optional[int] = None,
     phase_timings: Optional[dict] = None,
+    sr_reduce: str = "auto",
 ):
     """Full MI computation + background model + ARACNE + TSV outputs.
 
@@ -899,18 +925,21 @@ def perform_mi_computation(
 
     from ldweaver_tpu.utils.profiling import maybe_trace
 
+    _dev_sr = None
     if backend == "spmd":
         # budget-bounded SPMD scan segments per rank bucket over the
         # device mesh; the complete BLK5 link extraction (SR table +
         # per-tile LR retention) comes off the mesh with fixed-shape scan
         # outputs — no host tile loop (parallel/spmd_sweep.py).
-        # Byte-identical to backend="fast".  Checkpointing is whole-sweep
-        # (file-granular, like the reference R/BacGWES.R:382-385):
-        # checkpoint_dir is ignored here.  device_budget_bytes here caps
-        # the device-resident extraction OUTPUT per in-flight segment.
+        # Byte-identical to backend="fast".  checkpoint_dir enables
+        # SEGMENT-granular resume (each drained segment's pulled arrays
+        # persist; a resume skips the pulls — and in host sr mode the
+        # dispatch — of completed segments).  device_budget_bytes here
+        # caps the device-resident extraction OUTPUT per in-flight
+        # segment.
         from ldweaver_tpu.parallel.spmd_sweep import spmd_blk5_sweep
 
-        _spmd_stats = spmd_blk5_sweep(
+        _spmd_stats, _dev_sr = spmd_blk5_sweep(
             snp_data,
             np.asarray(hdw, dtype=np.float64),
             cds_var.paint,
@@ -925,6 +954,11 @@ def perform_mi_computation(
             perform_sr_only=perform_sr_analysis_only,
             out_budget_bytes=device_budget_bytes,
             verbose=verbose,
+            sr_reduce=sr_reduce,
+            checkpoint_dir=(
+                os.path.join(checkpoint_dir, "spmd_segs")
+                if checkpoint_dir else None
+            ),
         )
         if phase_timings is not None:
             phase_timings["spmd"] = _spmd_stats
@@ -1055,10 +1089,22 @@ def perform_mi_computation(
                 )
 
     _t_sweep_end = time.time()
-    sr_tables = [LinkTable.concat(parts) for parts in sr_links]
-    sr_links_red, sr_check, fits = merge_and_sort_sr_links(
-        nclust, sr_tables, sr_dist, srp_cutoff
-    )
+    if backend == "spmd" and _dev_sr is not None:
+        # the SR table never left the device: finish the background model
+        # from the on-device group stats + candidate links (byte-identical
+        # to the host path — parallel/sr_reduce.py module docstring)
+        from ldweaver_tpu.core.background import (
+            merge_and_sort_sr_links_from_candidates,
+        )
+
+        sr_links_red, sr_check, fits = merge_and_sort_sr_links_from_candidates(
+            nclust, _dev_sr.tables, _dev_sr.fits, sr_dist, srp_cutoff
+        )
+    else:
+        sr_tables = [LinkTable.concat(parts) for parts in sr_links]
+        sr_links_red, sr_check, fits = merge_and_sort_sr_links(
+            nclust, sr_tables, sr_dist, srp_cutoff
+        )
     _t_bg_end = time.time()
 
     if plt_folder is not None:

@@ -829,8 +829,16 @@ def _fast_lr_topk_streaming(
         pend[di] = ([], [], [])
 
     cur_panel = -1
-    rr = 0
-    for bi, bj in panel_pair_order(nb, panel):
+    order = list(panel_pair_order(nb, panel))
+    # host->device slab uploads double-buffer behind compute: the NEXT
+    # tiles' slabs prefetch on a worker while the current tile's program
+    # runs (VERDICT r3 next-#7 — uploads dominated the streaming leg:
+    # 19 x 67 MB serial through the relay)
+    from concurrent.futures import ThreadPoolExecutor
+
+    upload_pool = ThreadPoolExecutor(max_workers=2)
+    LOOKAHEAD = 2
+    for rr, (bi, bj) in enumerate(order):
         p = bi // panel
         if p != cur_panel:
             cur_panel = p
@@ -838,7 +846,13 @@ def _fast_lr_topk_streaming(
                 c.unpin()
                 c.pin(range(p * panel, min((p + 1) * panel, nb)))
         di = rr % nd
-        rr += 1
+        for ahead in range(1, LOOKAHEAD + 1):
+            if rr + ahead < len(order):
+                nbi, nbj = order[rr + ahead]
+                if nbi // panel == cur_panel:  # stay within pinned panel
+                    ca = caches[(rr + ahead) % nd]
+                    ca.prefetch(nbi, upload_pool)
+                    ca.prefetch(nbj, upload_pool)
         Rf = int(ranked.block_rmax[bi])
         Rt = int(ranked.block_rmax[bj])
         fn = _build_stream_tile(
@@ -866,6 +880,7 @@ def _fast_lr_topk_streaming(
         flush(di)
     for c in caches:
         c.unpin()
+    upload_pool.shutdown(wait=True)
 
     # cross-device merge: pull the nd small carries, combine on host
     mv = np.concatenate([np.asarray(c[0]) for c in carries])

@@ -45,23 +45,48 @@ class SlabCache:
         self.device = device  # None = default device
         self._cache: "OrderedDict[int, object]" = OrderedDict()
         self._pinned: Set[int] = set()
+        self._pending: dict = {}  # bi -> Future from prefetch()
         self.uploads = 0
         self.hits = 0
+        self.upload_s = 0.0  # wall spent inside device_put (+ready wait)
 
-    def _upload(self, bi: int):
+    def _upload(self, bi: int, wait: bool = False):
+        import time as _time
+
         import jax
 
+        t0 = _time.time()
         sl = slice(bi * self.block, (bi + 1) * self.block)
         host = np.ascontiguousarray(self.rank_codes[:, sl].T)
         self.uploads += 1
-        return jax.device_put(host, self.device)
+        buf = jax.device_put(host, self.device)
+        if wait:
+            # block the PREFETCH worker until the transfer lands so
+            # upload_s measures true host->device wall; the main thread's
+            # miss path stays async (device_put only enqueues)
+            try:
+                buf.block_until_ready()
+            except AttributeError:
+                pass
+        self.upload_s += _time.time() - t0
+        return buf
+
+    def prefetch(self, bi: int, pool) -> None:
+        """Start uploading slab `bi` on `pool` (a ThreadPoolExecutor) so
+        the transfer overlaps device compute; `get` joins it later.
+        device_put releases the GIL during the copy, so a 1-worker pool
+        double-buffers host->device traffic behind the dispatch loop."""
+        if bi in self._cache or bi in self._pending:
+            return
+        self._pending[bi] = pool.submit(self._upload, bi, True)
 
     def get(self, bi: int):
         if bi in self._cache:
             self._cache.move_to_end(bi)
             self.hits += 1
             return self._cache[bi]
-        buf = self._upload(bi)
+        fut = self._pending.pop(bi, None)
+        buf = fut.result() if fut is not None else self._upload(bi)
         self._cache[bi] = buf
         self._evict()
         return buf
@@ -137,6 +162,9 @@ def plan_budget(nseq: int, block: int, nb: int,
     usable = int(budget_bytes * 0.6)
     if total <= usable:
         return False, None, nb
-    max_slabs = max(3, usable // slab_bytes)
-    panel = max(1, max_slabs - 1)
+    max_slabs = max(4, usable // slab_bytes)
+    # panel rows stay pinned; keep TWO unpinned slots so the next column
+    # slab can prefetch (overlapping its host->device transfer with the
+    # current column's compute) without evicting the column in use
+    panel = max(1, max_slabs - 2)
     return True, max_slabs, panel

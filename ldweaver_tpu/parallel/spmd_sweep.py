@@ -513,10 +513,21 @@ def emit_tile_extract(
     expected_sr: int,
     sr_links: List[list],
     lr_rows_sink: Callable,
+    sr_to_host: bool = True,
+    parts: str = "both",
 ) -> bool:
     """Emit one tile's links from its extraction result; returns False if
-    the tile needs the exact full-tile fallback (failed certificate or
-    retention kept more than the top-K)."""
+    the tile needs the LR retry/fallback (failed certificate or retention
+    kept more than the top-K).
+
+    SR is SINGLE-SOURCED from the primary extraction program: its
+    compaction is exact regardless of the LR certificate, so when the LR
+    side fails the caller emits `parts="sr"` from the ORIGINAL result
+    and reruns only `parts="lr"` on the retry/fallback — every SR value
+    comes from one compiled program (the bitwise invariant the on-device
+    reduction relies on; different programs may differ at f32 ulp).
+    `sr_to_host=False` (device SR reduction, parallel/sr_reduce.py)
+    skips the host-side SR append but keeps the exactness assert."""
     from ldweaver_tpu.core.sweep import _emit_pairs
 
     assert res.n_sr == expected_sr, (
@@ -524,7 +535,7 @@ def emit_tile_extract(
     )
     q = None
     kept_sel = None
-    if lr_prob is not None and res.n_lr > 0:
+    if parts != "sr" and lr_prob is not None and res.n_lr > 0:
         if not res.exact:
             return False
         q = lr_threshold_from_topk(res.n_lr, res.vals, lr_prob, K)
@@ -551,7 +562,7 @@ def emit_tile_extract(
             g, sr_dist, lr_prob, sr_links, lr_rows_sink,
             apply_lr_quantile=False, lr_thresh=q,
         )
-    if res.n_sr:
+    if parts != "lr" and sr_to_host and res.n_sr:
         sidx = res.sr_idx[: res.n_sr].astype(np.int64)
         svals = res.sr_vals[: res.n_sr].astype(np.float64)
         _emit_pairs(
@@ -614,6 +625,52 @@ def _pull_sharded(o) -> np.ndarray:
     return multihost_utils.process_allgather(local, tiled=True)
 
 
+class _SegCheckpoint:
+    """Segment-granular sweep resume for the SPMD driver (the reference
+    resumes only at whole-file granularity, R/BacGWES.R:382-385; the
+    fast path already resumes per block pair).  Each drained segment's
+    PULLED arrays are persisted as one npz (atomic rename); on resume a
+    hit skips the segment's device->host pulls — in host sr mode the
+    dispatch too — which is where all the relay wall-clock lives.  A
+    manifest keyed by the full segment plan (any knob that changes
+    segmentation changes the plan) invalidates stale checkpoints."""
+
+    def __init__(self, directory: str, config_key: str):
+        import hashlib
+
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        key = hashlib.sha256(config_key.encode()).hexdigest()
+        manifest = os.path.join(directory, "manifest.txt")
+        stale = True
+        if os.path.exists(manifest):
+            try:
+                stale = open(manifest).read() != key
+            except OSError:
+                pass
+        if stale:
+            for f in os.listdir(directory):
+                if f.endswith(".npz"):
+                    os.unlink(os.path.join(directory, f))
+            with open(manifest, "wt") as fh:
+                fh.write(key)
+
+    def _path(self, i: int) -> str:
+        return os.path.join(self.dir, f"seg_{i}.npz")
+
+    def load(self, i: int):
+        try:
+            with np.load(self._path(i)) as z:
+                return {k: z[k] for k in z.files}
+        except (OSError, ValueError):
+            return None
+
+    def save(self, i: int, arrays: Dict[str, np.ndarray]) -> None:
+        tmp = self._path(i) + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, self._path(i))
+
+
 def _default_out_budget() -> int:
     """Device bytes one in-flight extraction segment may occupy.  At most
     FOUR segments' outputs are live on device at once (two enqueued by
@@ -647,17 +704,28 @@ def spmd_blk5_sweep(
     topk_cap: int = 1 << 18,
     out_budget_bytes: Optional[int] = None,
     verbose: bool = True,
-) -> Dict[str, int]:
+    sr_reduce: str = "auto",
+    checkpoint_dir: Optional[str] = None,
+):
     """Run BLK5's sweep as budget-bounded SPMD scan segments per
     (Rf, Rt, pure) bucket and emit links exactly like the FastTileRunner
     extract path (same tile order, same row-major per-tile order, same
     f64 thresholds, same compiled body), so sr/lr TSVs come out
-    byte-identical.  Returns emission stats.
+    byte-identical.  Returns (emission stats, DeviceSrReduction | None).
 
     `out_budget_bytes` caps the extraction output held on device by one
     in-flight segment (two segments are in flight); it bounds total HBM
     output memory independent of nsnp — the structural fix for the
-    round-2 bench crash.  Segmentation is output-invariant."""
+    round-2 bench crash.  Segmentation is output-invariant.
+
+    `sr_reduce` selects where the SR background model's heavy pass runs:
+    "host" pulls the full SR table (the round-3 behaviour, the byte
+    oracle); "device" keeps every segment's SR scan outputs resident and
+    reduces them on device (parallel/sr_reduce.py) — only group stats +
+    positive-residual candidates ever leave the chip, and the caller
+    finishes with `merge_and_sort_sr_links_from_candidates` (TSVs
+    byte-identical to "host" by construction); "auto" picks "device"
+    when the padded SR outputs fit the device budget."""
     from ldweaver_tpu.parallel.slabs import panel_pair_order
     from ldweaver_tpu.parallel.sweep import get_mesh
 
@@ -736,6 +804,20 @@ def spmd_blk5_sweep(
         for s0 in range(0, len(plist), seg):
             segments.append((key, plist[s0 : s0 + seg], seg))
 
+    # ---- where does the SR background reduction run?  "device" keeps
+    # every segment's (ladder-padded) SR outputs resident in HBM for the
+    # on-device group-stats + candidate passes (parallel/sr_reduce.py);
+    # gate on their total size so >HBM SR tables keep the host path.
+    padded_sr_bytes = sum(8 * k[3] * p for k, _c, p in segments)
+    if sr_reduce == "auto":
+        from ldweaver_tpu.parallel.slabs import auto_budget
+
+        hbm = auto_budget()
+        sr_budget = int(hbm * 0.35) if hbm else (4 << 30)
+        device_reduce = padded_sr_bytes <= sr_budget and g < (1 << 30)
+    else:
+        device_reduce = sr_reduce == "device"
+
     results: Dict[Tuple[int, int], object] = {}
     inflight: deque = deque()
     import time as _time
@@ -744,6 +826,16 @@ def spmd_blk5_sweep(
     debug = os.environ.get("LDW_SPMD_DEBUG") == "1"
     t_phase = {"dispatch_s": 0.0, "pull_s": 0.0, "emit_s": 0.0}
     nclust = len(sr_links)
+    # device-reduce state: per-segment kept device refs (sr_idx, sr_vals,
+    # n_sr, pairs), keyed by segment index so the jit trace signature is
+    # deterministic regardless of drain completion order
+    seg_keep: Dict[int, tuple] = {}
+    paint_dev = (
+        _to_global(mesh, paint_sorted.astype(np.int32), P())
+        if device_reduce else None
+    )
+    _EMPTY_I32 = np.zeros(0, np.int32)
+    _EMPTY_F32 = np.zeros(0, np.float32)
 
     def _tile_emit_kw(bi: int, bj: int) -> dict:
         f_sl = slice(bi * B, (bi + 1) * B)
@@ -754,6 +846,7 @@ def spmd_blk5_sweep(
             pnt_f=paint_sorted[f_sl], pnt_t=paint_sorted[t_sl],
             g=g, sr_dist=sr_dist, lr_prob=lr_prob,
             expected_sr=int(sr_counts[bi, bj]),
+            sr_to_host=not device_reduce,
         )
 
     def _prepare(res: TileExtract, bi: int, bj: int):
@@ -785,22 +878,29 @@ def spmd_blk5_sweep(
     multiproc = jax.process_count() > 1
     pull_pool = ThreadPoolExecutor(max_workers=1 if multiproc else 6)
     drain_pool = ThreadPoolExecutor(max_workers=1 if multiproc else 2)
+    # dedicated worker for the on-device SR reduction so it never queues
+    # behind tile-prepare jobs on `pool`
+    bg_pool = ThreadPoolExecutor(max_workers=1)
     pending_drains: deque = deque()
 
-    def _drain_segment(chunk, outs, t_disp):
-        t0 = _time.time()
-        n_lr, exact, row_max, vals, idx, n_sr, sr_idx, sr_vals = (
-            pull_pool.map(_pull_sharded, outs)
-        )
-        # overlapping drains both add their blocked wall time: pull_s is
-        # an upper bound on (and without overlap equals) the pull wall
-        t_phase["pull_s"] += _time.time() - t0
-        if debug:
-            print(
-                f"  spmd segment: {len(chunk)} tiles, dispatch {t_disp:.2f}s,"
-                f" pull {_time.time() - t0:.2f}s",
-                flush=True,
-            )
+    # segment-granular resume (multi-process runs skip it: per-host disk
+    # state cannot be assumed shared or consistent across ranks)
+    seg_ckpt = None
+    if checkpoint_dir and not multiproc:
+        plan = repr((
+            snp_data.nsnp, snp_data.nseq, g, int(sr_dist),
+            float(lr_retain_links), lr_prob, B, K, k_row, int(topk_cap),
+            nsh, "device" if device_reduce else "host",
+            [(k, tuple(c)) for k, c, _p in segments],
+        ))
+        seg_ckpt = _SegCheckpoint(checkpoint_dir, plan)
+    seg_hits = 0
+
+    def _emit_pulled(chunk, arrs: dict) -> None:
+        """Queue per-tile emission prep from a segment's pulled arrays
+        (fresh pulls and checkpoint replays share this path)."""
+        n_lr, exact, row_max = arrs["n_lr"], arrs["exact"], arrs["row_max"]
+        vals, idx, n_sr = arrs["vals"], arrs["idx"], arrs["n_sr"]
         for s, (bi, bj) in enumerate(chunk):
             nl = int(n_lr[s])
             ns = int(n_sr[s])
@@ -810,11 +910,54 @@ def spmd_blk5_sweep(
                 # truncate to live entries so host memory tracks actual
                 # link counts, not the padded caps
                 vals=vals[s, :ncand].copy(), idx=idx[s, :ncand].copy(),
-                n_sr=ns, sr_idx=sr_idx[s, :ns].copy(),
-                sr_vals=sr_vals[s, :ns].copy(),
+                n_sr=ns,
+                sr_idx=(
+                    _EMPTY_I32 if device_reduce
+                    else arrs["sr_idx"][s, :ns].copy()
+                ),
+                sr_vals=(
+                    _EMPTY_F32 if device_reduce
+                    else arrs["sr_vals"][s, :ns].copy()
+                ),
                 row_max=int(row_max[s]),
             )
             results[(bi, bj)] = pool.submit(_prepare, res, bi, bj)
+
+    def _drain_segment(seg_i, chunk, outs, pairs_g, t_disp, pre):
+        t0 = _time.time()
+        if device_reduce:
+            # SR bulk NEVER leaves the device: keep the scan outputs for
+            # the on-device reduction, pull only the LR side + counts
+            seg_keep[seg_i] = (outs[6], outs[7], outs[5], pairs_g)
+            if pre is None:
+                pulled = list(pull_pool.map(_pull_sharded, outs[:6]))
+                arrs = dict(zip(
+                    ("n_lr", "exact", "row_max", "vals", "idx", "n_sr"),
+                    pulled,
+                ))
+            else:
+                arrs = pre  # resume: pulls skipped, dispatch rebuilt HBM
+        else:
+            assert pre is None  # host-mode hits never dispatch or drain
+            pulled = list(pull_pool.map(_pull_sharded, outs))
+            arrs = dict(zip(
+                ("n_lr", "exact", "row_max", "vals", "idx", "n_sr",
+                 "sr_idx", "sr_vals"),
+                pulled,
+            ))
+        if pre is None and seg_ckpt is not None:
+            seg_ckpt.save(seg_i, arrs)
+        # overlapping drains both add their blocked wall time: pull_s is
+        # an upper bound on (and without overlap equals) the pull wall
+        t_phase["pull_s"] += _time.time() - t0
+        if debug:
+            print(
+                f"  spmd segment: {len(chunk)} tiles, dispatch {t_disp:.2f}s,"
+                f" pull {_time.time() - t0:.2f}s"
+                f"{' (ckpt)' if pre is not None else ''}",
+                flush=True,
+            )
+        _emit_pulled(chunk, arrs)
 
     def drain_one():
         pending_drains.append(drain_pool.submit(_drain_segment, *inflight.popleft()))
@@ -863,22 +1006,35 @@ def spmd_blk5_sweep(
 
     try:
         with mesh:
-            for key, chunk, padded in segments:
+            for seg_i, (key, chunk, padded) in enumerate(segments):
+                pre = seg_ckpt.load(seg_i) if seg_ckpt is not None else None
+                if pre is not None:
+                    seg_hits += 1
+                    if not device_reduce:
+                        # host sr mode: everything the segment produced is
+                        # on disk — skip the dispatch entirely
+                        _emit_pulled(chunk, pre)
+                        continue
+                    # device sr mode: the scan must still run to rebuild
+                    # the device-resident SR outputs, but its pulls are
+                    # skipped (the relay cost) — see _drain_segment
                 t0 = _time.time()
                 pairs = np.zeros((padded, 2), np.int32)
                 pairs[: len(chunk)] = np.asarray(chunk, np.int32)
                 pair_valid = np.zeros(padded, bool)
                 pair_valid[: len(chunk)] = True
                 fn = prog_futs[(key, padded)].result()
+                pairs_g = _to_global(mesh, _local_rows(pairs, nsh), P("b"))
                 outs = fn(
                     codes_dev, wparts_dev, w32_dev, r_dev, pos_dev,
-                    valid_dev,
-                    _to_global(mesh, _local_rows(pairs, nsh), P("b")),
+                    valid_dev, pairs_g,
                     _to_global(mesh, _local_rows(pair_valid, nsh), P("b")),
                     neff_dev, prob_dev,
                 )
                 t_phase["dispatch_s"] += _time.time() - t0
-                inflight.append((chunk, outs, _time.time() - t0))
+                inflight.append(
+                    (seg_i, chunk, outs, pairs_g, _time.time() - t0, pre)
+                )
                 # double buffer: keep segment s+1 enqueued while pulling s
                 while len(inflight) >= 2:
                     drain_one()
@@ -887,13 +1043,34 @@ def spmd_blk5_sweep(
             while pending_drains:  # join (+ surface exceptions of) drains
                 pending_drains.popleft().result()
 
+        # kick off the on-device SR reduction on its own worker so its
+        # compiles/pulls overlap the emission loop below (it only issues
+        # jax dispatches + pulls + numpy; collectives live inside the
+        # compiled programs, in one deterministic order)
+        red_fut = None
+        if device_reduce:
+            from ldweaver_tpu.parallel.sr_reduce import run_device_reduction
+
+            segs_t = tuple(seg_keep[i] for i in range(len(segments)))
+            red_fut = bg_pool.submit(
+                run_device_reduction, mesh, segs_t, pos_dev, paint_dev,
+                ranked_pos=ranked.pos, paint_sorted=paint_sorted,
+                B=B, nb=nb, g=g, sr_dist=int(sr_dist), nclust=nclust,
+                total_sr=int(sr_counts.sum()), pull_pool=pull_pool,
+            )
+
         t_emit0 = _time.time()
+        per_tile_pull = (
+            (lambda k: 8 * K + 32) if device_reduce
+            else (lambda k: 8 * (K + k[3]) + 32)
+        )
         stats = dict(
             tiles=0, fallbacks=0, retries=0, sr_pairs=0,
             segments=len(segments), programs=len(buckets),
+            seg_ckpt_hits=seg_hits,
+            sr_reduce="device" if device_reduce else "host",
             pull_mb=round(
-                sum(p * (8 * (K + k[3]) + 32) for k, _, p in segments)
-                / 1e6, 1
+                sum(p * per_tile_pull(k) for k, _, p in segments) / 1e6, 1
             ),
         )
         # local single-device constants for retry/fallback dispatches
@@ -913,6 +1090,12 @@ def spmd_blk5_sweep(
                 continue
             emit_kw = _tile_emit_kw(bi, bj)
             emit_kw.update(sr_links=sr_links, lr_rows_sink=lr_rows_sink)
+            # the LR certificate failed, but SR compaction is exact
+            # regardless: emit SR once from the PRIMARY extraction (the
+            # single source — a retry/fallback program may differ at f32
+            # ulp) and redo only the LR side below
+            emit_tile_extract(res, K=K, parts="sr", **emit_kw)
+            stats["sr_pairs"] += res.n_sr
             done = False
             if lr_prob is not None:
                 # boosted-capacity retry before the full-tile transfer —
@@ -926,22 +1109,25 @@ def spmd_blk5_sweep(
                         P_sr=sr_cap_class(int(sr_counts[bi, bj]), ladder),
                     )
                     stats["retries"] += 1
-                    done = emit_tile_extract(res2, K=K2, **emit_kw)
-            if done:
-                stats["sr_pairs"] += res2.n_sr
-            else:
+                    done = emit_tile_extract(
+                        res2, K=K2, parts="lr", **emit_kw
+                    )
+            if not done:
                 stats["fallbacks"] += 1
                 _fallback_full_tile(
                     ranked, valid, paint_sorted, bi, bj,
                     w32_loc, wparts_loc, neff_loc,
                     g, sr_dist, lr_prob, sr_links, lr_rows_sink,
+                    emit_sr=False,
                 )
-                stats["sr_pairs"] += int(sr_counts[bi, bj])
+        dev_sr = red_fut.result() if red_fut is not None else None
+        if dev_sr is not None:
+            stats.update(dev_sr.stats)
     finally:
         # exception-safe: a failure anywhere above must not leak pools —
         # ThreadPoolExecutor's atexit join could then block interpreter
         # exit on a wedged relay pull (CLAUDE.md: never kill a TPU client)
-        for p in (pool, compile_pool, pull_pool, drain_pool):
+        for p in (pool, compile_pool, pull_pool, drain_pool, bg_pool):
             p.shutdown(cancel_futures=True)
     t_phase["emit_s"] = _time.time() - t_emit0
     stats.update({k: round(v, 2) for k, v in t_phase.items()})
@@ -949,20 +1135,25 @@ def spmd_blk5_sweep(
         print(
             f"SPMD sweep: {stats['tiles']} tiles over {nsh} device(s), "
             f"{stats['sr_pairs']} sr pairs, {stats['fallbacks']} fallbacks,"
+            f" sr_reduce={stats['sr_reduce']},"
             f" dispatch {t_phase['dispatch_s']:.2f}s"
             f" pull {t_phase['pull_s']:.2f}s"
             f" emit {t_phase['emit_s']:.2f}s",
             flush=True,
         )
-    return stats
+    return stats, dev_sr
 
 
 def _fallback_full_tile(
     ranked, valid, paint_sorted, bi, bj, w32_dev, wparts_dev, neff_dev,
-    g, sr_dist, lr_prob, sr_links, lr_rows_sink,
+    g, sr_dist, lr_prob, sr_links, lr_rows_sink, emit_sr=True,
 ):
     """Exact full-tile extraction for tiles the bounded extraction cannot
-    certify (same program as FastTileRunner's full-transfer fallback)."""
+    certify (same program as FastTileRunner's full-transfer fallback).
+    With emit_sr=False only the LR side is emitted (the tile's SR links
+    were already single-sourced from the primary extraction)."""
+    if not emit_sr:
+        sr_links = [[] for _ in sr_links]  # discard SR appends
     import jax.numpy as jnp
 
     from ldweaver_tpu.core.sweep import _emit_pairs

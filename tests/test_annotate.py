@@ -228,3 +228,122 @@ def test_create_network_for_gene(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+# --------------------------------------------------------------------------
+# Real-world snpEff ANN corpus (VERDICT r3 next-#8): convert_vcfann_to_table
+# must classify captured ANN shapes exactly like the reference's
+# whole-INFO pipe-split semantics (R/SnpEffAnnotations.R:272-311) —
+# element [2] is the annotation, description joins unique([4,5,10,11]),
+# cds is element [5], grep-based sy/ig recode.
+# --------------------------------------------------------------------------
+_ANN_CORPUS = [
+    # (REF, ALT, INFO, annotation, description, cds, code)
+    ("A", "T",
+     "ANN=T|missense_variant|MODERATE|pbpX|gene_0123|transcript|tr_0123.1"
+     "|protein_coding|1/1|c.1013A>T|p.Asp338Val|1013/2160|1013/2160"
+     "|338/719||",
+     "missense_variant", "pbpX:gene_0123:c.1013A>T:p.Asp338Val",
+     "gene_0123", "ns"),
+    ("C", "A",
+     "ANN=A|synonymous_variant|LOW|rpoB|gene_0987|transcript|tr_0987.1"
+     "|protein_coding|1/1|c.2301C>T|p.Gly767Gly|2301/3543|2301/3543"
+     "|767/1180||",
+     "synonymous_variant", "rpoB:gene_0987:c.2301C>T:p.Gly767Gly",
+     "gene_0987", "sy"),
+    ("A", "T",
+     "ANN=T|stop_retained_variant|LOW|lytA|gene_0555|transcript|tr_0555.1"
+     "|protein_coding|1/1|c.957A>T|p.Ter319Ter|957/960|957/960|319/319||",
+     "stop_retained_variant", "lytA:gene_0555:c.957A>T:p.Ter319Ter",
+     "gene_0555", "sy"),
+    # up/downstream: empty HGVS.p -> R pastes the empty string too
+    ("G", "A",
+     "ANN=A|upstream_gene_variant|MODIFIER|dinB|gene_0456|transcript"
+     "|tr_0456.1|protein_coding||c.-268G>A|||||268|",
+     "upstream_gene_variant", "dinB:gene_0456:c.-268G>A:",
+     "gene_0456", "ig"),
+    ("T", "C",
+     "ANN=C|downstream_gene_variant|MODIFIER|comX|gene_0777|transcript"
+     "|tr_0777.1|protein_coding||c.*96T>C|||||96|",
+     "downstream_gene_variant", "comX:gene_0777:c.*96T>C:",
+     "gene_0777", "ig"),
+    # multi-transcript (comma-joined): classification reads the FIRST
+    # transcript only — the 2nd's synonymous must NOT flip the code
+    ("G", "T",
+     "ANN=T|missense_variant|MODERATE|pbp2b|gene_1500|transcript"
+     "|tr_1500.1|protein_coding|1/1|c.1204G>A|p.Ala402Thr|1204/2058"
+     "|1204/2058|402/685||,T|synonymous_variant|LOW|recA|gene_1501"
+     "|transcript|tr_1501.1|protein_coding|1/1|c.150G>T|p.Leu50Leu"
+     "|150/1050|150/1050|50/350||",
+     "missense_variant", "pbp2b:gene_1500:c.1204G>A:p.Ala402Thr",
+     "gene_1500", "ns"),
+    # trailing LOF / NMD INFO subfields glue onto late pipe elements and
+    # must not disturb [2]/[4]/[5]/[10]/[11]
+    ("C", "A",
+     "ANN=A|stop_gained|HIGH|ply|gene_1731|transcript|tr_1731.1"
+     "|protein_coding|1/1|c.1368C>A|p.Tyr456Ter|1368/1416|1368/1416"
+     "|456/471||;LOF=(ply|gene_1731|1|1.00)",
+     "stop_gained", "ply:gene_1731:c.1368C>A:p.Tyr456Ter",
+     "gene_1731", "ns"),
+    ("G", "A",
+     "ANN=A|stop_gained|HIGH|hsdR|gene_0220|transcript|tr_0220.1"
+     "|protein_coding|1/1|c.1C>T|p.Gln1Ter|1/2961|1/2961|1/986||"
+     ";NMD=(hsdR|gene_0220|1|0.90)",
+     "stop_gained", "hsdR:gene_0220:c.1C>T:p.Gln1Ter",
+     "gene_0220", "ns"),
+    # intergenic stays "ns" — only up/downstream are recoded to ig (the
+    # reference quirk, R/SnpEffAnnotations.R:295-298)
+    ("C", "G",
+     "ANN=G|intergenic_region|MODIFIER|yabA-yabB|gene_0001-gene_0002"
+     "|intergenic_region|gene_0001-gene_0002|||n.55055C>G||||||",
+     "intergenic_region",
+     "yabA-yabB:gene_0001-gene_0002:n.55055C>G:",
+     "gene_0001-gene_0002", "ns"),
+    # '&'-combined annotation: substring grep catches synonymous
+    ("T", "C",
+     "ANN=C|splice_region_variant&synonymous_variant|LOW|gyrA|gene_0099"
+     "|transcript|tr_0099.1|protein_coding|1/1|c.246T>C|p.Ser82Ser"
+     "|246/2466|246/2466|82/821||",
+     "splice_region_variant&synonymous_variant",
+     "gyrA:gene_0099:c.246T>C:p.Ser82Ser", "gene_0099", "sy"),
+    # stray quotes are stripped before splitting
+    ("G", "T",
+     'ANN=T|missense_variant|MODERATE|"ponA"|gene_0042|transcript'
+     "|tr_0042.1|protein_coding|1/1|c.55G>T|p.Ala19Ser|55/2160|55/2160"
+     "|19/719||",
+     "missense_variant", "ponA:gene_0042:c.55G>T:p.Ala19Ser",
+     "gene_0042", "ns"),
+    # duplicate gene name/id: unique() collapses them in the description
+    ("C", "T",
+     "ANN=A|synonymous_variant|LOW|trpS|trpS|transcript|trpS"
+     "|protein_coding|1/1|c.99C>T|p.Asp33Asp|99/990|99/990|33/330||",
+     "synonymous_variant", "trpS:c.99C>T:p.Asp33Asp", "trpS", "sy"),
+]
+
+
+def test_convert_vcfann_real_world_corpus(tmp_path):
+    from ldweaver_tpu.annotate import convert_vcfann_to_table
+
+    vcf = tmp_path / "ann.vcf"
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+    for i, (ref, alt, info, *_exp) in enumerate(_ANN_CORPUS):
+        lines.append(f"CHR\t{100 + i}\t.\t{ref}\t{alt}\t.\t.\t{info}")
+    vcf.write_text("\n".join(lines) + "\n")
+
+    n = len(_ANN_CORPUS)
+    allele_table = np.tile(
+        np.array([[60], [30], [10], [0], [0]], np.int64), (1, n)
+    )
+    ann = convert_vcfann_to_table(
+        str(vcf), np.arange(n), allele_table, nseq=100
+    )
+    assert len(ann) == n
+    for i, (ref, alt, _info, a, d, c, code) in enumerate(_ANN_CORPUS):
+        row = ann.iloc[i]
+        assert row["pos"] == 100 + i
+        assert row["REF"] == ref and row["ALT"] == alt
+        assert row["annotation"] == a, (i, row["annotation"])
+        assert row["description"] == d, (i, row["description"])
+        assert row["cds"] == c, (i, row["cds"])
+        assert row["code"] == code, (i, row["code"])

@@ -25,10 +25,12 @@ def _cds_var(sd, nclust=2, seed=0):
 def _run(sd, hdw, cds_var, tmp_path, tag, backend, **kw):
     lr = str(tmp_path / f"lr_{tag}.tsv")
     sr = str(tmp_path / f"sr_{tag}.tsv")
+    kw.setdefault("max_blk_sz", 1000)
+    kw.setdefault("sr_dist", 2000)
     links = perform_mi_computation(
         sd, hdw, cds_var, lr_save_path=lr, sr_save_path=sr,
-        plt_folder=None, sr_dist=2000, srp_cutoff=3.0,
-        backend=backend, max_blk_sz=1000, verbose=False, **kw,
+        plt_folder=None, srp_cutoff=3.0,
+        backend=backend, verbose=False, **kw,
     )
     import os
 
@@ -185,9 +187,10 @@ def test_spmd_scale_dense_lr():
         return sr_links, rows, sink
 
     sr_s, rows_s, sink_s = collect()
-    stats = spmd_blk5_sweep(
+    stats, _ = spmd_blk5_sweep(
         sd, w, paint, neff, sr_dist, retain, approx, sr_s, sink_s,
         block=block, out_budget_bytes=16 << 20, verbose=False,
+        sr_reduce="host",  # this test compares the HOST-emitted sr lists
     )
     assert stats["segments"] > 2, stats  # the budget actually segmented
     # nseq=24 gives heavy MI ties, so SOME tiles legitimately fail the
@@ -252,9 +255,10 @@ def test_spmd_fallback_on_unselective_retention(toy_snp_data, toy_hdw,
         def sink(p1, p2, c1, c2, ln, mi):
             rows.extend(zip(p1.tolist(), p2.tolist(), mi.tolist()))
 
-        stats = spmd_blk5_sweep(
+        stats, _ = spmd_blk5_sweep(
             sd, hdw, paint, neff, 2000, retain, approx, sr_links, sink,
             block=512, topk_cap=topk_cap, verbose=False,
+            sr_reduce="host",  # compares HOST-emitted sr lists
         )
         return rows, sr_links, stats
 

@@ -1,0 +1,170 @@
+"""On-device SR background reduction (parallel/sr_reduce.py): the
+device-reduce path must produce sr/lr TSVs byte-identical to the
+host-pull oracle, plus unit properties of the building blocks (integer
+rank identity, monotone f32 bits, threshold conservativeness)."""
+
+import numpy as np
+import pytest
+
+from ldweaver_tpu.core.sweep import perform_mi_computation
+from tests.test_spmd_sweep import _cds_var, _run
+
+
+def test_rank_formula():
+    """floor((n-1)*0.95) == (n-1) - ceil((n-1)/20) for every n the f64
+    host path can produce — the identity the device rank gather relies
+    on (sr_reduce.rank_lo)."""
+    from ldweaver_tpu.parallel.sr_reduce import rank_lo
+
+    n = np.concatenate(
+        [
+            np.arange(1, 100_001, dtype=np.int64),
+            np.random.default_rng(0).integers(
+                1, 2**31 - 20, size=100_000
+            ),
+        ]
+    )
+    h = (n - 1) * 0.95
+    assert np.array_equal(np.floor(h).astype(np.int64), rank_lo(n))
+
+
+def test_mono_bits_roundtrip_and_order():
+    import jax
+    import jax.numpy as jnp
+
+    from ldweaver_tpu.parallel.sr_reduce import _mono_u32, _unmono_f32
+
+    rng = np.random.default_rng(1)
+    v = np.concatenate(
+        [
+            rng.normal(size=1000).astype(np.float32),
+            np.array([0.0, -0.0, np.inf, -np.inf, 1e-45, -1e-45],
+                     np.float32),
+        ]
+    )
+    mono = np.asarray(jax.jit(_mono_u32)(jnp.asarray(v)))
+    back = np.asarray(jax.jit(_unmono_f32)(jnp.asarray(mono)))
+    assert np.array_equal(back.view(np.uint32), v.view(np.uint32))
+    order = np.argsort(mono, kind="stable")
+    sv = v[order]
+    assert np.all(sv[:-1] <= sv[1:])  # numeric order preserved
+
+
+def test_threshold_tables_conservative():
+    """The f32 thresholds must round DOWN: any MI with f64 MI - fitted >
+    0 satisfies MI >= T (no candidate may be missed)."""
+    from ldweaver_tpu.core.background import ClusterFit
+    from ldweaver_tpu.parallel.sr_reduce import threshold_tables
+
+    rng = np.random.default_rng(2)
+    nfit = 300
+    fitted = np.exp(rng.normal(size=nfit) * 3)
+    fit = ClusterFit(
+        lens=np.arange(1, nfit + 1, dtype=np.float64), q95=fitted,
+        fitted=fitted, coef=(0.0, 0.0), beta_shape=(np.nan, np.nan),
+    )
+    sr_dist = 400
+    T = threshold_tables({1: fit}, 1, sr_dist)
+    k2 = np.arange(1, 2 * sr_dist)
+    idx = (k2 >> 1) - 1
+    ok = (idx >= 0) & (idx < nfit)
+    # in-range: T <= fitted in f64
+    assert np.all(T[0][k2[ok]].astype(np.float64) <= fitted[idx[ok]])
+    # the next f32 up must exceed fitted (tightest round-down)
+    up = np.nextafter(T[0][k2[ok]], np.float32(np.inf))
+    assert np.all(up.astype(np.float64) > fitted[idx[ok]] - 1e-300)
+    # out-of-range keys can never be candidates
+    assert np.all(np.isinf(T[0][k2[~ok]]))
+    assert np.isinf(T[0][0]) and np.isinf(T[0][2 * sr_dist])
+
+
+def _synth_case(nsnp=2500, nseq=32, g=399_999, seed=11, nclust=3):
+    """Odd g -> half-integer circular distances (exercises the k2 = 2*len
+    integer key) with a multi-cluster paint (cross-cluster dedup); 2500
+    SNPs at block 1000 -> 3 blocks, 6 tiles over several rank buckets."""
+    from tests.test_stream_sweep import _synth
+
+    sd, w = _synth(nsnp=nsnp, nseq=nseq, g=g, seed=seed)
+    cds_var = _cds_var(sd, nclust=nclust, seed=seed + 1)
+    return sd, w, cds_var
+
+
+@pytest.mark.parametrize("sr_only", [False, True])
+def test_device_reduce_byte_identical(tmp_path, sr_only):
+    sd, w, cds_var = _synth_case()
+    kw = dict(
+        perform_sr_analysis_only=sr_only,
+        device_budget_bytes=1 << 16,  # several segments
+    )
+    host, sr_h, lr_h = _run(
+        sd, w, cds_var, tmp_path, f"host{sr_only}", "spmd",
+        sr_reduce="host", **kw,
+    )
+    dev, sr_d, lr_d = _run(
+        sd, w, cds_var, tmp_path, f"dev{sr_only}", "spmd",
+        sr_reduce="device", **kw,
+    )
+    assert sr_h  # non-trivial output
+    assert sr_d == sr_h
+    assert lr_d == lr_h
+    assert np.array_equal(dev.srp_max, host.srp_max)
+    assert np.array_equal(dev.ARACNE, host.ARACNE)
+
+
+def test_device_reduce_fits_match_oracle(tmp_path):
+    """The device-derived ClusterFits (q95 per distance, OLS coef, beta
+    shape) must equal the host oracle's bit-for-bit — they are saved as
+    cX_fit_data artifacts (reference fit_data .rds)."""
+    from ldweaver_tpu.core.background import merge_and_sort_sr_links
+    from ldweaver_tpu.core.mi import LinkTable
+
+    sd, w, cds_var = _synth_case(seed=21)
+    nclust = cds_var.nclust
+    results = {}
+    for mode in ("host", "device"):
+        sr_links = [[] for _ in range(nclust)]
+        fits_dir = tmp_path / f"fits_{mode}"
+        fits_dir.mkdir()
+        perform_mi_computation(
+            sd, w, cds_var,
+            lr_save_path=str(tmp_path / f"{mode}_lr.tsv"),
+            sr_save_path=str(tmp_path / f"{mode}_sr.tsv"),
+            plt_folder=str(fits_dir), sr_dist=2000, backend="spmd",
+            sr_reduce=mode, verbose=False,
+        )
+        results[mode] = {
+            p.name: p.read_bytes() for p in fits_dir.glob("*_fit_data.npz")
+        }
+    assert results["host"].keys() == results["device"].keys()
+    assert len(results["host"]) >= 1
+    for name in results["host"]:
+        assert results["device"][name] == results["host"][name], name
+
+
+def test_device_reduce_cap_retry(tmp_path, monkeypatch):
+    """A tiny initial candidate cap must trigger the count-certificate
+    retry and still produce identical bytes."""
+    import ldweaver_tpu.parallel.sr_reduce as srr
+
+    sd, w, cds_var = _synth_case(seed=31)
+    _, sr_h, lr_h = _run(
+        sd, w, cds_var, tmp_path, "h", "spmd", sr_reduce="host",
+    )
+
+    orig = srr.run_device_reduction
+
+    calls = {}
+
+    def tiny_cap(*a, **k):
+        k["cap0"] = 16
+        out = orig(*a, **k)
+        calls["retries"] = out.stats["cand_retries"]
+        return out
+
+    monkeypatch.setattr(srr, "run_device_reduction", tiny_cap)
+    _, sr_d, lr_d = _run(
+        sd, w, cds_var, tmp_path, "d", "spmd", sr_reduce="device",
+    )
+    assert calls["retries"] >= 1
+    assert sr_d == sr_h
+    assert lr_d == lr_h

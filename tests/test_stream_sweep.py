@@ -58,7 +58,9 @@ def test_plan_budget_thresholds():
     stream, max_slabs, panel = plan_budget(64, 128, 8, 10 ** 9)
     assert not stream  # fits comfortably
     stream, max_slabs, panel = plan_budget(64, 128, 8, 64 * 128 * 5)
-    assert stream and max_slabs == 3 and panel == 2
+    # floor of 4 slabs: panel rows pinned + current column + a prefetch
+    # slot (slabs.plan_budget)
+    assert stream and max_slabs == 4 and panel == 2
 
 
 def test_slab_cache_lru_and_pinning():
