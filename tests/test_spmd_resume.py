@@ -25,14 +25,25 @@ def test_interrupt_then_resume_byte_identical(tmp_path, monkeypatch, mode):
 
     ck = tmp_path / f"ck_{mode}"
     orig = spmd._pull_sharded
-    state = {"calls": 0}
+    orig_save = spmd._SegCheckpoint.save
+    saved = {"n": 0}
+
+    # deterministic fault injection: two drains run concurrently on
+    # drain_pool sharing the 6-worker pull_pool, so a fixed call-count
+    # trip wire can fire while segment 0's own pulls are still pending
+    # (leaving zero checkpoints — a flake seen in round 4).  Keying the
+    # crash on "first checkpoint written" guarantees >=1 saved segment
+    # AND a crash on the next pull regardless of thread scheduling.
+    def counting_save(self, i, arrays):
+        orig_save(self, i, arrays)
+        saved["n"] += 1
 
     def dying_pull(o):
-        state["calls"] += 1
-        if state["calls"] > 8:  # let ~1 segment drain, then die
+        if saved["n"] >= 1:
             raise RuntimeError("simulated relay crash")
         return orig(o)
 
+    monkeypatch.setattr(spmd._SegCheckpoint, "save", counting_save)
     monkeypatch.setattr(spmd, "_pull_sharded", dying_pull)
     with pytest.raises(RuntimeError, match="simulated relay crash"):
         _run(
