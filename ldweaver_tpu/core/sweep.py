@@ -829,6 +829,10 @@ def perform_mi_computation(
     dispatch-pull-emit stats) for benchmarking and observability.
     """
     t000 = time.time()
+    from ldweaver_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat compiles of the sweep programs
+    # become disk reads (~15-40 s each through the relay otherwise)
     # the reference rounds the block size to a 1000-multiple (:69); that
     # quirk only shapes the COMPAT path's block decomposition.  The
     # fast/spmd tile size is an internal knob where 4096 (a pow2, the

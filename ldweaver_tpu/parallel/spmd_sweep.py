@@ -55,6 +55,19 @@ production leg went 1584 s -> 857 s (caps + emit overlap) -> 663 s (AOT
 compile overlap: dispatch 382 s -> 38 s), with identical TSV row counts
 at every step.
 
+**Round-trip engineering (round 4).**  With the SR side reduced on
+device (parallel/sr_reduce.py) the pull bytes collapsed (1953 -> 21.5 MB
+at the bench shape) but pull WALL did not (157 s): the relay charges
+~1.2 s of round-trip latency per pull regardless of size, and the driver
+issued 6 pulls per segment.  Device-reduce mode therefore packs each
+segment's six LR arrays into one u32 buffer on device (`_build_lr_fuse`,
+bit-exact unpack on host) — one pull per segment, 6x fewer round trips,
+and one process_allgather per segment under multi-process (fewer
+collectives, same deterministic order).  Bucket-program compiles are
+additionally served from JAX's persistent compilation cache
+(utils/compile_cache.py) so repeat runs skip the 15-40 s relay compiles
+entirely.
+
 Outputs of the SPMD driver are sharded along the pair axis (`P('b')`).
 Under multi-process (`jax.process_count() > 1`) each host feeds its
 addressable slice of the pair list, reads back only its addressable
@@ -625,6 +638,49 @@ def _pull_sharded(o) -> np.ndarray:
     return multihost_utils.process_allgather(local, tiled=True)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_lr_fuse(mesh_key: int):
+    """Pack a segment's six LR output arrays into ONE u32 buffer
+    [rows, 4 + 2K] on device: columns (n_lr, exact, row_max, n_sr) then
+    the f32 bits of vals then idx.  The relay charges ~1.2 s of
+    round-trip latency per pull regardless of size (r4 bench: pull_s
+    157 s for 21.5 MB over 21 segments x 6 arrays), so device mode
+    pulls one fused buffer per segment — 6x fewer round trips, same
+    bytes, bit-exact unpack.  Pure per-row bit moves, no collectives:
+    safe to dispatch from any drain thread in any process count."""
+    from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
+
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def fn(n_lr, exact, row_max, vals, idx, n_sr):
+        u = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)  # noqa: E731
+        head = jnp.stack(
+            [u(n_lr), exact.astype(jnp.uint32), u(row_max), u(n_sr)],
+            axis=1,
+        )
+        return jnp.concatenate([head, u(vals), u(idx)], axis=1)
+
+    return jax.jit(
+        fn, out_shardings=NamedSharding(mesh, PartitionSpec("b"))
+    )
+
+
+def _unfuse_lr(buf: np.ndarray, K: int) -> Dict[str, np.ndarray]:
+    """Host inverse of _build_lr_fuse — bit-exact (vals/idx are bitcast
+    views; the count columns are small non-negative ints)."""
+    return dict(
+        n_lr=buf[:, 0].astype(np.int32),
+        exact=buf[:, 1].astype(bool),
+        row_max=buf[:, 2].astype(np.int32),
+        n_sr=buf[:, 3].astype(np.int32),
+        vals=np.ascontiguousarray(buf[:, 4 : 4 + K]).view(np.float32),
+        idx=np.ascontiguousarray(buf[:, 4 + K : 4 + 2 * K]).view(np.int32),
+    )
+
+
 class _SegCheckpoint:
     """Segment-granular sweep resume for the SPMD driver (the reference
     resumes only at whole-file granularity, R/BacGWES.R:382-385; the
@@ -927,14 +983,13 @@ def spmd_blk5_sweep(
         t0 = _time.time()
         if device_reduce:
             # SR bulk NEVER leaves the device: keep the scan outputs for
-            # the on-device reduction, pull only the LR side + counts
+            # the on-device reduction; the LR side crosses as ONE fused
+            # u32 buffer per segment (_build_lr_fuse) — round trips, not
+            # bytes, dominate the relay pull cost
             seg_keep[seg_i] = (outs[6], outs[7], outs[5], pairs_g)
             if pre is None:
-                pulled = list(pull_pool.map(_pull_sharded, outs[:6]))
-                arrs = dict(zip(
-                    ("n_lr", "exact", "row_max", "vals", "idx", "n_sr"),
-                    pulled,
-                ))
+                buf = _build_lr_fuse(mesh_key)(*outs[:6])
+                arrs = _unfuse_lr(_pull_sharded(buf), K)
             else:
                 arrs = pre  # resume: pulls skipped, dispatch rebuilt HBM
         else:

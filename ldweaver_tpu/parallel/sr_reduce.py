@@ -205,6 +205,34 @@ def _build_group_stats(mesh_key: int, B: int, g: int, sr_dist: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _build_cand_count(mesh_key: int, B: int, g: int, sr_dist: int,
+                      nclust: int):
+    """Count-only half of pass 2: the scalar candidate count, pulled
+    FIRST so the compaction program's static cap can be sized from the
+    true count instead of a worst-case guess (the r4 bench pulled a
+    402 MB buffer for 94 MB of live candidates — 4.3x padding)."""
+    from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
+
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(segs, pos, paint, T):
+        k2, mi, c1, c2, _gi, _gj, live = _flat_segments(
+            segs, pos, paint, B, g, sr_dist, mesh
+        )
+        k2c = jnp.clip(k2, 0, 2 * sr_dist)
+        keep = jnp.zeros_like(live)
+        for c in range(1, nclust + 1):
+            thr = T[c - 1][k2c]
+            keep = keep | (((c1 == c) | (c2 == c)) & (mi >= thr))
+        return (keep & live).sum(dtype=jnp.int32)
+
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
+
+
+@functools.lru_cache(maxsize=None)
 def _build_candidates(mesh_key: int, B: int, g: int, sr_dist: int,
                       nclust: int, cap: int):
     """Pass 2: compact every link whose MI clears ANY member cluster's
@@ -396,10 +424,19 @@ def run_device_reduction(
     stats["bg_fit_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    # candidates ~= positive residuals ~= 5% of links; 12.5% + pow2 cap
-    # still pulls ~1/8 of the old table in the worst start, and the
-    # count certificate retries on overflow
-    cap = cap0 if cap0 else _next_pow2(max(total_sr // 8, 1))
+    # count first (a scalar pull), then compact at a cap sized from the
+    # TRUE count: pow2 rounding bounds pull padding at 2x, vs the 4-8x a
+    # worst-case 12.5%-of-links guess paid (402 MB pulled for 94 MB live
+    # at the r4 bench shape).  The count program's compile is a one-off
+    # amortised by the persistent compile cache.
+    if cap0:
+        cap = cap0
+    else:
+        count_fn = _build_cand_count(mesh_key, B, int(g), int(sr_dist),
+                                     nclust)
+        pre_count = int(np.asarray(count_fn(segs, pos_dev, paint_dev, T)))
+        stats["cand_precount_s"] = round(time.time() - t0, 2)
+        cap = _next_pow2(pre_count)
     retries = 0
     while True:
         cand_fn = _build_candidates(
