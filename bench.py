@@ -351,8 +351,9 @@ def _run_leg_subprocess(leg: str) -> dict:
     # when the backend cannot serialise executables)
     env.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"),
+        os.path.join(os.path.expanduser("~"), ".cache", "ldweaver_tpu",
+                     "xla"),  # same dir as utils/compile_cache.py so
+        # bench legs and library runs (pipeline, e2e) share one cache
     )
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     proc = subprocess.run(
