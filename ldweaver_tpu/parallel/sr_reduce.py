@@ -257,7 +257,14 @@ def _build_candidates(mesh_key: int, B: int, g: int, sr_dist: int,
         keep = keep & live
         count = keep.sum(dtype=jnp.int32)
         (idx,) = jnp.nonzero(keep, size=cap, fill_value=0)
-        return gi[idx], gj[idx], mi[idx], count
+        # one fused [cap, 3] u32 buffer: the relay charges ~1.2 s of
+        # round-trip latency per pull, so (gi, gj, mi-bits) cross
+        # together; the host bit-exactly unpacks (run_device_reduction)
+        u = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+            x.astype(jnp.int32) if x.dtype != jnp.float32 else x,
+            jnp.uint32,
+        )
+        return jnp.stack([u(gi[idx]), u(gj[idx]), u(mi[idx])], 1), count
 
     return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
 
@@ -442,20 +449,16 @@ def run_device_reduction(
         cand_fn = _build_candidates(
             mesh_key, B, int(g), int(sr_dist), nclust, cap
         )
-        gi_d, gj_d, mi_d, cnt_d = cand_fn(segs, pos_dev, paint_dev, T)
+        buf_d, cnt_d = cand_fn(segs, pos_dev, paint_dev, T)
         count = int(np.asarray(cnt_d))
         if count <= cap:
             break
         cap = _next_pow2(count)
         retries += 1
-    if pull_pool is not None:
-        gi, gj, mi = (
-            f.result()
-            for f in [pull_pool.submit(np.asarray, a)
-                      for a in (gi_d, gj_d, mi_d)]
-        )
-    else:
-        gi, gj, mi = np.asarray(gi_d), np.asarray(gj_d), np.asarray(mi_d)
+    buf = np.asarray(buf_d)  # ONE pull carries (gi, gj, mi bits)
+    gi = buf[:, 0].astype(np.int32)
+    gj = buf[:, 1].astype(np.int32)
+    mi = np.ascontiguousarray(buf[:, 2]).view(np.float32)
     stats["bg_cand_s"] = round(time.time() - t0, 2)
     stats["cand_count"] = count
     stats["cand_mb"] = round(12 * cap / 1e6, 1)

@@ -91,6 +91,10 @@ def ldweaver(
     reduced short-range link table.
     """
     cfg = config or LDWeaverConfig(**config_kwargs)
+    from ldweaver_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # before the first jit (BLK4 Hamming):
+    # repeat runs load the relay-compiled programs from disk
     t_global = time.time()
     timings = {}
     open_stages = []
