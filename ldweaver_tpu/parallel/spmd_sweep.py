@@ -668,6 +668,24 @@ def _build_lr_fuse(mesh_key: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _build_lr_concat(mesh_key: int):
+    """Concatenate a chunk's fused LR buffers on device (one jit object;
+    traces are cached per input row-pattern, and the persistent compile
+    cache makes repeat patterns disk reads)."""
+    from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
+
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.jit(
+        lambda bs: jnp.concatenate(bs, axis=0),
+        out_shardings=NamedSharding(mesh, PartitionSpec("b")),
+    )
+
+
 def _unfuse_lr(buf: np.ndarray, K: int) -> Dict[str, np.ndarray]:
     """Host inverse of _build_lr_fuse — bit-exact (vals/idx are bitcast
     views; the count columns are small non-negative ints)."""
@@ -941,6 +959,11 @@ def spmd_blk5_sweep(
 
     # segment-granular resume (multi-process runs skip it: per-host disk
     # state cannot be assumed shared or consistent across ranks)
+    # device-mode LR drains group this many segments per pull (round
+    # trips are the dominant and most variable relay cost); 1 restores
+    # strict per-segment pulls (and the tightest crash granularity)
+    pull_chunk = max(1, int(os.environ.get("LDW_SPMD_PULL_CHUNK", "8")))
+    chunk_pend: list = []
     seg_ckpt = None
     if checkpoint_dir and not multiproc:
         plan = repr((
@@ -980,27 +1003,16 @@ def spmd_blk5_sweep(
             results[(bi, bj)] = pool.submit(_prepare, res, bi, bj)
 
     def _drain_segment(seg_i, chunk, outs, pairs_g, t_disp, pre):
+        # host sr mode only (device mode drains in chunks, below)
         t0 = _time.time()
-        if device_reduce:
-            # SR bulk NEVER leaves the device: keep the scan outputs for
-            # the on-device reduction; the LR side crosses as ONE fused
-            # u32 buffer per segment (_build_lr_fuse) — round trips, not
-            # bytes, dominate the relay pull cost
-            seg_keep[seg_i] = (outs[6], outs[7], outs[5], pairs_g)
-            if pre is None:
-                buf = _build_lr_fuse(mesh_key)(*outs[:6])
-                arrs = _unfuse_lr(_pull_sharded(buf), K)
-            else:
-                arrs = pre  # resume: pulls skipped, dispatch rebuilt HBM
-        else:
-            assert pre is None  # host-mode hits never dispatch or drain
-            pulled = list(pull_pool.map(_pull_sharded, outs))
-            arrs = dict(zip(
-                ("n_lr", "exact", "row_max", "vals", "idx", "n_sr",
-                 "sr_idx", "sr_vals"),
-                pulled,
-            ))
-        if pre is None and seg_ckpt is not None:
+        assert pre is None  # host-mode hits never dispatch or drain
+        pulled = list(pull_pool.map(_pull_sharded, outs))
+        arrs = dict(zip(
+            ("n_lr", "exact", "row_max", "vals", "idx", "n_sr",
+             "sr_idx", "sr_vals"),
+            pulled,
+        ))
+        if seg_ckpt is not None:
             seg_ckpt.save(seg_i, arrs)
         # overlapping drains both add their blocked wall time: pull_s is
         # an upper bound on (and without overlap equals) the pull wall
@@ -1008,11 +1020,47 @@ def spmd_blk5_sweep(
         if debug:
             print(
                 f"  spmd segment: {len(chunk)} tiles, dispatch {t_disp:.2f}s,"
-                f" pull {_time.time() - t0:.2f}s"
-                f"{' (ckpt)' if pre is not None else ''}",
+                f" pull {_time.time() - t0:.2f}s",
                 flush=True,
             )
         _emit_pulled(chunk, arrs)
+
+    def _drain_lr_chunk(items):
+        """Device-mode drain of a GROUP of segments: their fused LR
+        buffers (one [rows, 4+2K] u32 per segment, already resident)
+        concatenate on device and cross in ONE pull.  Relay round-trip
+        latency is the dominant and most VARIABLE pull cost (measured
+        1.2 s/pull in one session, ~38 s/pull hours later), so the pull
+        count is the only robust lever; checkpoint granularity stays
+        per-segment (each slice is saved as its own npz)."""
+        t0 = _time.time()
+        bufs = [b for (_s, _c, b, p) in items if p is None]
+        host = None
+        if bufs:
+            cat = (
+                _build_lr_concat(mesh_key)(bufs) if len(bufs) > 1
+                else bufs[0]
+            )
+            host = _pull_sharded(cat)
+        t_phase["pull_s"] += _time.time() - t0
+        if debug:
+            print(
+                f"  spmd chunk: {len(items)} segments, pull"
+                f" {_time.time() - t0:.2f}s"
+                f" ({0 if host is None else host.nbytes >> 20} MB)",
+                flush=True,
+            )
+        off = 0
+        for seg_i, chunk, buf, pre in items:
+            if pre is None:
+                rows = buf.shape[0]
+                arrs = _unfuse_lr(host[off : off + rows], K)
+                off += rows
+                if seg_ckpt is not None:
+                    seg_ckpt.save(seg_i, arrs)
+            else:
+                arrs = pre  # resume: pull skipped, dispatch rebuilt HBM
+            _emit_pulled(chunk, arrs)
 
     def drain_one():
         pending_drains.append(drain_pool.submit(_drain_segment, *inflight.popleft()))
@@ -1072,7 +1120,7 @@ def spmd_blk5_sweep(
                         continue
                     # device sr mode: the scan must still run to rebuild
                     # the device-resident SR outputs, but its pulls are
-                    # skipped (the relay cost) — see _drain_segment
+                    # skipped (the relay cost) — see _drain_lr_chunk
                 t0 = _time.time()
                 pairs = np.zeros((padded, 2), np.int32)
                 pairs[: len(chunk)] = np.asarray(chunk, np.int32)
@@ -1087,6 +1135,27 @@ def spmd_blk5_sweep(
                     neff_dev, prob_dev,
                 )
                 t_phase["dispatch_s"] += _time.time() - t0
+                if device_reduce:
+                    # SR bulk NEVER leaves the device: keep the scan
+                    # outputs for the on-device reduction; the tiny LR
+                    # side is packed to one buffer per segment and
+                    # drained in CHUNKS of pull_chunk segments — the
+                    # pull count is the only lever robust to relay
+                    # round-trip weather (_drain_lr_chunk)
+                    seg_keep[seg_i] = (outs[6], outs[7], outs[5], pairs_g)
+                    buf = (
+                        _build_lr_fuse(mesh_key)(*outs[:6])
+                        if pre is None else None
+                    )
+                    chunk_pend.append((seg_i, chunk, buf, pre))
+                    if len(chunk_pend) >= pull_chunk:
+                        items, chunk_pend = chunk_pend, []
+                        pending_drains.append(
+                            drain_pool.submit(_drain_lr_chunk, items)
+                        )
+                        while len(pending_drains) >= 2:
+                            pending_drains.popleft().result()
+                    continue
                 inflight.append(
                     (seg_i, chunk, outs, pairs_g, _time.time() - t0, pre)
                 )
@@ -1095,6 +1164,11 @@ def spmd_blk5_sweep(
                     drain_one()
             while inflight:
                 drain_one()
+            if chunk_pend:
+                pending_drains.append(
+                    drain_pool.submit(_drain_lr_chunk, chunk_pend)
+                )
+                chunk_pend = []
             while pending_drains:  # join (+ surface exceptions of) drains
                 pending_drains.popleft().result()
 

@@ -199,7 +199,15 @@ def _build_group_stats(mesh_key: int, B: int, g: int, sr_dist: int,
             ns.append(n)
             xlo.append(_unmono_f32(vs[i_lo]))
             xhi.append(_unmono_f32(vs[i_hi]))
-        return jnp.stack(ns), jnp.stack(xlo), jnp.stack(xhi)
+        # one fused u32 [3, nclust, grid] buffer (counts, f32 bits of
+        # x_lo/x_hi): the stats cross in a single relay round trip
+        u = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+            x.astype(jnp.int32) if x.dtype != jnp.float32 else x,
+            jnp.uint32,
+        )
+        return jnp.stack(
+            [u(jnp.stack(ns)), u(jnp.stack(xlo)), u(jnp.stack(xhi))]
+        )
 
     return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
 
@@ -419,10 +427,10 @@ def run_device_reduction(
 
     t0 = time.time()
     stats_fn = _build_group_stats(mesh_key, B, int(g), int(sr_dist), nclust)
-    ns_d, xlo_d, xhi_d = stats_fn(segs, pos_dev, paint_dev)
-    ns = np.asarray(ns_d)
-    xlo = np.asarray(xlo_d)
-    xhi = np.asarray(xhi_d)
+    sbuf = np.asarray(stats_fn(segs, pos_dev, paint_dev))  # ONE pull
+    ns = sbuf[0].astype(np.int32)
+    xlo = sbuf[1].copy().view(np.float32)
+    xhi = sbuf[2].copy().view(np.float32)
     stats["bg_stats_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()

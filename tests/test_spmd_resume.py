@@ -12,6 +12,10 @@ from tests.test_spmd_sweep import _run
 
 @pytest.mark.parametrize("mode", ["device", "host"])
 def test_interrupt_then_resume_byte_identical(tmp_path, monkeypatch, mode):
+    # one segment per device-mode pull so the injected crash lands
+    # between chunk drains (default chunking could fit every segment of
+    # this small case into a single pull — then nothing crashes)
+    monkeypatch.setenv("LDW_SPMD_PULL_CHUNK", "1")
     sd, w, cds_var = _synth_case(seed=41)
     kw = dict(
         device_budget_bytes=1 << 16,  # several segments
