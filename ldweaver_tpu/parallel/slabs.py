@@ -29,6 +29,32 @@ from typing import Iterator, Optional, Set, Tuple
 import numpy as np
 
 
+_UNPACK_FN = None
+
+
+def _unpack_nibbles(packed, n: int):
+    """Device-side inverse of the nibble pack: [B, ceil(n/2)] u8 ->
+    [B, n] u8 with columns (lo_0, hi_0, lo_1, hi_1, ...).  One jit
+    object (traces cached per shape, served from the persistent compile
+    cache); runs on whatever device `packed` is committed to."""
+    global _UNPACK_FN
+    if _UNPACK_FN is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def fn(p, n_):
+            lo = p & jnp.uint8(0xF)
+            hi = p >> jnp.uint8(4)
+            out = jnp.stack([lo, hi], axis=2).reshape(p.shape[0], -1)
+            return out[:, :n_]
+
+        _UNPACK_FN = fn
+    return _UNPACK_FN(packed, n)
+
+
 class SlabCache:
     """LRU cache of device-resident rank-code slabs.
 
@@ -49,6 +75,11 @@ class SlabCache:
         self.uploads = 0
         self.hits = 0
         self.upload_s = 0.0  # wall spent inside device_put (+ready wait)
+        # rank codes are 0..R-1 with R <= 5, so two fit a byte: uploads
+        # cross the (bandwidth-limited) relay nibble-PACKED and a trivial
+        # device op unpacks them — byte-identical slabs at half the
+        # host->device traffic.  Guarded for exotic future encodings.
+        self.pack = int(rank_codes.max(initial=0)) <= 0xF
 
     def _upload(self, bi: int, wait: bool = False):
         import time as _time
@@ -59,7 +90,16 @@ class SlabCache:
         sl = slice(bi * self.block, (bi + 1) * self.block)
         host = np.ascontiguousarray(self.rank_codes[:, sl].T)
         self.uploads += 1
-        buf = jax.device_put(host, self.device)
+        if self.pack:
+            n = host.shape[1]
+            if n % 2:
+                host = np.concatenate(
+                    [host, np.zeros((host.shape[0], 1), np.uint8)], axis=1
+                )
+            packed = host[:, 0::2] | (host[:, 1::2] << 4)
+            buf = _unpack_nibbles(jax.device_put(packed, self.device), n)
+        else:
+            buf = jax.device_put(host, self.device)
         if wait:
             # block the PREFETCH worker until the transfer lands so
             # upload_s measures true host->device wall; the main thread's
