@@ -61,9 +61,12 @@ def hamming_weights_jax(
     thresh = int(nsnp * threshold)
     Bs = min(seq_block, _next_pow2(nseq))
     npad = (-nseq) % Bs
+    # pad code 15 (not 255): it still matches no allele class 0..4, and
+    # it fits a NIBBLE, so blocks cross the bandwidth-limited relay
+    # packed two-codes-per-byte (same trick as parallel/slabs.py)
     codes_p = (
         np.concatenate(
-            [codes, np.full((npad, nsnp), 255, np.uint8)], axis=0
+            [codes, np.full((npad, nsnp), 15, np.uint8)], axis=0
         )
         if npad
         else codes
@@ -73,7 +76,7 @@ def hamming_weights_jax(
 
     @functools.partial(jax.jit, static_argnames=())
     def tile_counts(ci, cj):
-        # padded rows (code 255) match nothing -> shared 0 -> distance
+        # padded rows (code 15) match nothing -> shared 0 -> distance
         # nsnp >= thresh -> contribute 0 to the count
         acc = jnp.zeros((Bs, Bs), dtype=jnp.float32)
         for a in range(5):
@@ -85,8 +88,25 @@ def hamming_weights_jax(
         near = (nsnp - acc) < thresh  # strict <, R/perform...R:76
         return near.sum(axis=1).astype(jnp.int32)
 
+    from ldweaver_tpu.parallel.slabs import _unpack_nibbles
+
+    def _packed_block(k):
+        h = codes_p[k * Bs : (k + 1) * Bs]
+        if h.shape[1] % 2:
+            h = np.concatenate(
+                [h, np.full((h.shape[0], 1), 15, np.uint8)], axis=1
+            )
+        return _unpack_nibbles(
+            jnp.asarray(h[:, 0::2] | (h[:, 1::2] << 4)), nsnp
+        )
+
     neigh = np.zeros(nseq_p, dtype=np.int64)
-    dev_blocks = [jnp.asarray(codes_p[k * Bs : (k + 1) * Bs]) for k in range(nb)]
+    pack_ok = int(codes.max(initial=0)) <= 15  # ACGTN codes are 0..4
+    dev_blocks = [
+        _packed_block(k) if pack_ok
+        else jnp.asarray(codes_p[k * Bs : (k + 1) * Bs])
+        for k in range(nb)
+    ]
     for i in range(nb):
         for j in range(nb):
             neigh[i * Bs : (i + 1) * Bs] += np.asarray(

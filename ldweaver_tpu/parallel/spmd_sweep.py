@@ -669,6 +669,52 @@ def _build_lr_fuse(mesh_key: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _build_codes_unpack(mesh_key: int, n: int):
+    """Replicated on-device unpack of nibble-packed rank codes (see
+    parallel/slabs.py — codes are 0..4, two per byte), so the big
+    [nseq, nsnp] operand crosses the bandwidth-limited relay at half
+    the bytes.  Exact inverse; every downstream program sees the
+    identical u8 tensor."""
+    from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
+
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def fn(p):
+        lo = p & jnp.uint8(0xF)
+        hi = p >> jnp.uint8(4)
+        return jnp.stack([lo, hi], axis=2).reshape(p.shape[0], -1)[:, :n]
+
+    return jax.jit(
+        fn, out_shardings=NamedSharding(mesh, PartitionSpec())
+    )
+
+
+def _codes_to_global(mesh, mesh_key: int, codes: np.ndarray):
+    """Upload the rank-code tensor replicated, nibble-packed when legal
+    (single-process, values fit a nibble); multi-process keeps the plain
+    path — the assembly helper handles host-local chunks there and the
+    upload is host-local anyway."""
+    import jax
+    from jax.sharding import PartitionSpec
+
+    if jax.process_count() > 1 or int(codes.max(initial=0)) > 0xF:
+        return _to_global(mesh, codes, PartitionSpec())
+    n = codes.shape[1]
+    h = codes
+    if n % 2:
+        h = np.concatenate(
+            [h, np.zeros((h.shape[0], 1), np.uint8)], axis=1
+        )
+    packed = h[:, 0::2] | (h[:, 1::2] << 4)
+    return _build_codes_unpack(mesh_key, n)(
+        _to_global(mesh, packed, PartitionSpec())
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _build_lr_concat(mesh_key: int):
     """Concatenate a chunk's fused LR buffers on device (one jit object;
     traces are cached per input row-pattern, and the persistent compile
@@ -847,7 +893,7 @@ def spmd_blk5_sweep(
     w32, wparts = _wparts(hdw)
     from jax.sharding import PartitionSpec as P
 
-    codes_dev = _to_global(mesh, ranked.rank_codes, P())
+    codes_dev = _codes_to_global(mesh, mesh_key, ranked.rank_codes)
     wparts_dev = _to_global(mesh, wparts, P())
     w32_dev = _to_global(mesh, w32, P())
     r_dev = _to_global(mesh, ranked.r, P())
