@@ -185,6 +185,38 @@ def _fit_lookup_key(fit: ClusterFit, k: np.ndarray) -> np.ndarray:
     return tab[np.minimum(idx, fit.fitted.size) + 1]
 
 
+def _score_cluster(ci: int, t: LinkTable, fit: ClusterFit,
+                   mean_dist: np.ndarray):
+    """Steps 5-6 of mergeNsort_sr_links for one cluster: positive
+    residuals against the fitted decay (strict diff > 0, R which()
+    semantics R/computePairwiseMI.R:449), beta MLE over them, srp, and
+    the SrLinks rows.  The SINGLE implementation consumed by both the
+    host oracle (_one_cluster) and the device-reduce candidates path
+    (merge_and_sort_sr_links_from_candidates) so the byte-identity
+    contract between sr_reduce modes cannot drift."""
+    diff = t.MI - mean_dist  # NaN propagates
+    with np.errstate(invalid="ignore"):
+        pos_mask = diff > 0  # NaN -> False (R which() drops NA)
+    pos_idx = np.flatnonzero(pos_mask)
+    if pos_idx.size == 0:
+        return None
+    a, b = fit_beta_mle(diff[pos_idx])
+    fit.beta_shape = (a, b)
+    srp = -log_beta_sf(diff[pos_idx], a, b)  # :453
+    kept = t.take(pos_idx)
+    rows = SrLinks(
+        clust_c=np.full(pos_idx.size, ci, dtype=np.int64),
+        pos1=kept.pos1,
+        pos2=kept.pos2,
+        clust1=kept.clust1,
+        clust2=kept.clust2,
+        len=kept.len,
+        MI=kept.MI,
+        srp_max=np.asarray(srp, dtype=np.float64),
+    )
+    return fit, rows
+
+
 def merge_and_sort_sr_links(
     nclust: int,
     sr_links_per_clust: List[LinkTable],
@@ -218,27 +250,7 @@ def merge_and_sort_sr_links(
             _fit_lookup_key(fit, lkey) if lkey is not None
             else fit_lookup(fit, t.len)
         )
-        diff = t.MI - mean_dist  # NaN propagates
-        with np.errstate(invalid="ignore"):
-            pos_mask = diff > 0  # NaN -> False (R which() drops NA) :449
-        pos_idx = np.flatnonzero(pos_mask)
-        if pos_idx.size == 0:
-            return None
-        a, b = fit_beta_mle(diff[pos_idx])
-        fit.beta_shape = (a, b)
-        srp = -log_beta_sf(diff[pos_idx], a, b)  # :453
-        kept = t.take(pos_idx)
-        rows = SrLinks(
-            clust_c=np.full(pos_idx.size, ci, dtype=np.int64),
-            pos1=kept.pos1,
-            pos2=kept.pos2,
-            clust1=kept.clust1,
-            clust2=kept.clust2,
-            len=kept.len,
-            MI=kept.MI,
-            srp_max=np.asarray(srp, dtype=np.float64),
-        )
-        return fit, rows
+        return _score_cluster(ci, t, fit, mean_dist)
 
     if nclust > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -288,29 +300,9 @@ def merge_and_sort_sr_links_from_candidates(
         if len(t) == 0:
             cluster_results.append(None)
             continue
-        mean_dist = fit_lookup(fit, t.len)
-        diff = t.MI - mean_dist
-        with np.errstate(invalid="ignore"):
-            pos_mask = diff > 0
-        pos_idx = np.flatnonzero(pos_mask)
-        if pos_idx.size == 0:
-            cluster_results.append(None)
-            continue
-        a, b = fit_beta_mle(diff[pos_idx])
-        fit.beta_shape = (a, b)
-        srp = -log_beta_sf(diff[pos_idx], a, b)
-        kept = t.take(pos_idx)
-        rows = SrLinks(
-            clust_c=np.full(pos_idx.size, ci, dtype=np.int64),
-            pos1=kept.pos1,
-            pos2=kept.pos2,
-            clust1=kept.clust1,
-            clust2=kept.clust2,
-            len=kept.len,
-            MI=kept.MI,
-            srp_max=np.asarray(srp, dtype=np.float64),
+        cluster_results.append(
+            _score_cluster(ci, t, fit, fit_lookup(fit, t.len))
         )
-        cluster_results.append((fit, rows))
     return _merge_rows(cluster_results, srp_cutoff)
 
 

@@ -88,17 +88,11 @@ def hamming_weights_jax(
         near = (nsnp - acc) < thresh  # strict <, R/perform...R:76
         return near.sum(axis=1).astype(jnp.int32)
 
-    from ldweaver_tpu.parallel.slabs import _unpack_nibbles
+    from ldweaver_tpu.parallel.slabs import _unpack_nibbles, pack_nibbles
 
     def _packed_block(k):
         h = codes_p[k * Bs : (k + 1) * Bs]
-        if h.shape[1] % 2:
-            h = np.concatenate(
-                [h, np.full((h.shape[0], 1), 15, np.uint8)], axis=1
-            )
-        return _unpack_nibbles(
-            jnp.asarray(h[:, 0::2] | (h[:, 1::2] << 4)), nsnp
-        )
+        return _unpack_nibbles(jnp.asarray(pack_nibbles(h, pad=15)), nsnp)
 
     neigh = np.zeros(nseq_p, dtype=np.int64)
     pack_ok = int(codes.max(initial=0)) <= 15  # ACGTN codes are 0..4

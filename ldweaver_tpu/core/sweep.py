@@ -283,7 +283,8 @@ class FastTileRunner:
             for d in self.devices
         ]
         self.caches = [
-            SlabCache(ranked.rank_codes, ranked.block, max_slabs, device=d)
+            SlabCache(ranked.rank_codes, ranked.block, max_slabs, device=d,
+                      pack=True)  # rank_encode emits 0..4
             for d in self.devices
         ]
         self.cache = self.caches[0]  # single-device alias (tests, fallback)

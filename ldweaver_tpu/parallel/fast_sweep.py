@@ -583,7 +583,8 @@ def prepare_fast_sweep(
     stream_devices = list(mesh.devices.flat) if streaming else None
     slab_caches = (
         [
-            SlabCache(ranked.rank_codes, block, max_slabs, device=d)
+            SlabCache(ranked.rank_codes, block, max_slabs, device=d,
+                      pack=True)  # rank_encode emits 0..4
             for d in stream_devices
         ]
         if streaming
@@ -838,49 +839,56 @@ def _fast_lr_topk_streaming(
 
     upload_pool = ThreadPoolExecutor(max_workers=2)
     LOOKAHEAD = 2
-    for rr, (bi, bj) in enumerate(order):
-        p = bi // panel
-        if p != cur_panel:
-            cur_panel = p
-            for c in caches:
-                c.unpin()
-                c.pin(range(p * panel, min((p + 1) * panel, nb)))
-        di = rr % nd
-        for ahead in range(1, LOOKAHEAD + 1):
-            if rr + ahead < len(order):
-                nbi, nbj = order[rr + ahead]
-                if nbi // panel == cur_panel:  # stay within pinned panel
-                    ca = caches[(rr + ahead) % nd]
-                    ca.prefetch(nbi, upload_pool)
-                    ca.prefetch(nbj, upload_pool)
-        Rf = int(ranked.block_rmax[bi])
-        Rt = int(ranked.block_rmax[bj])
-        fn = _build_stream_tile(
-            B, state.nseq, Rf, Rt, precision_terms, k_each,
-            int(sr_dist), int(state.g),
-            pure=bool(ranked.block_pure[bi]) and bool(ranked.block_pure[bj]),
-        )
-        cf = caches[di].get(bi)
-        ct = caches[di].get(bj)
-        r_d, pos_d, val_d, w32_d, wparts_d, neff_d = consts[di]
-        vals, idx = fn(
-            cf, ct, r_d, pos_d, val_d,
-            np.int32(bi * B), np.int32(bj * B),
-            w32_d, wparts_d, neff_d,
-            np.bool_(bi == bj),
-        )
-        pend_vals, pend_idx, pend_tid = pend[di]
-        pend_vals.append(vals)
-        pend_idx.append(idx)
-        pend_tid.append(len(tile_meta))
-        tile_meta.append((bi, bj))
-        if len(pend_vals) >= merge_chunk:
+    try:
+        for rr, (bi, bj) in enumerate(order):
+            p = bi // panel
+            if p != cur_panel:
+                cur_panel = p
+                for c in caches:
+                    c.unpin()
+                    c.pin(range(p * panel, min((p + 1) * panel, nb)))
+            di = rr % nd
+            for ahead in range(1, LOOKAHEAD + 1):
+                if rr + ahead < len(order):
+                    nbi, nbj = order[rr + ahead]
+                    if nbi // panel == cur_panel:  # stay in pinned panel
+                        ca = caches[(rr + ahead) % nd]
+                        ca.prefetch(nbi, upload_pool)
+                        ca.prefetch(nbj, upload_pool)
+            Rf = int(ranked.block_rmax[bi])
+            Rt = int(ranked.block_rmax[bj])
+            fn = _build_stream_tile(
+                B, state.nseq, Rf, Rt, precision_terms, k_each,
+                int(sr_dist), int(state.g),
+                pure=bool(ranked.block_pure[bi])
+                and bool(ranked.block_pure[bj]),
+            )
+            cf = caches[di].get(bi)
+            ct = caches[di].get(bj)
+            r_d, pos_d, val_d, w32_d, wparts_d, neff_d = consts[di]
+            vals, idx = fn(
+                cf, ct, r_d, pos_d, val_d,
+                np.int32(bi * B), np.int32(bj * B),
+                w32_d, wparts_d, neff_d,
+                np.bool_(bi == bj),
+            )
+            pend_vals, pend_idx, pend_tid = pend[di]
+            pend_vals.append(vals)
+            pend_idx.append(idx)
+            pend_tid.append(len(tile_meta))
+            tile_meta.append((bi, bj))
+            if len(pend_vals) >= merge_chunk:
+                flush(di)
+        for di in range(nd):
             flush(di)
-    for di in range(nd):
-        flush(di)
-    for c in caches:
-        c.unpin()
-    upload_pool.shutdown(wait=True)
+        for c in caches:
+            c.unpin()
+    finally:
+        # exception-safe: a raising dispatch must not leak prefetch
+        # workers blocked in block_until_ready on a wedged relay —
+        # ThreadPoolExecutor's atexit join would then hang interpreter
+        # exit (CLAUDE.md: never leave a TPU client un-exitable)
+        upload_pool.shutdown(wait=False, cancel_futures=True)
 
     # cross-device merge: pull the nd small carries, combine on host
     mv = np.concatenate([np.asarray(c[0]) for c in carries])

@@ -29,6 +29,19 @@ from typing import Iterator, Optional, Set, Tuple
 import numpy as np
 
 
+def pack_nibbles(host: np.ndarray, pad: int = 0) -> np.ndarray:
+    """Host-side nibble pack: [B, n] u8 (values <= 0xF) -> [B, ceil(n/2)]
+    u8 with `pad` filling an odd final column.  The single pack
+    implementation shared by slab uploads, the SPMD code-tensor upload
+    and the Hamming block upload; `_unpack_nibbles` is its exact device
+    inverse."""
+    if host.shape[1] % 2:
+        host = np.concatenate(
+            [host, np.full((host.shape[0], 1), pad, np.uint8)], axis=1
+        )
+    return host[:, 0::2] | (host[:, 1::2] << 4)
+
+
 _UNPACK_FN = None
 
 
@@ -63,7 +76,8 @@ class SlabCache:
     protects a working set from eviction (panel rows)."""
 
     def __init__(self, rank_codes: np.ndarray, block: int,
-                 max_slabs: Optional[int] = None, device=None):
+                 max_slabs: Optional[int] = None, device=None,
+                 pack: Optional[bool] = None):
         self.rank_codes = rank_codes  # [nseq, nsnp_padded] host
         self.block = block
         self.nb = rank_codes.shape[1] // block
@@ -78,8 +92,13 @@ class SlabCache:
         # rank codes are 0..R-1 with R <= 5, so two fit a byte: uploads
         # cross the (bandwidth-limited) relay nibble-PACKED and a trivial
         # device op unpacks them — byte-identical slabs at half the
-        # host->device traffic.  Guarded for exotic future encodings.
-        self.pack = int(rank_codes.max(initial=0)) <= 0xF
+        # host->device traffic.  Callers who know the value range by
+        # construction (rank_encode emits 0..4) pass `pack=True` so a
+        # 25 GB tensor is not re-scanned once per device cache; None
+        # falls back to the sound full scan.
+        if pack is None:
+            pack = int(rank_codes.max(initial=0)) <= 0xF
+        self.pack = bool(pack)
 
     def _upload(self, bi: int, wait: bool = False):
         import time as _time
@@ -92,12 +111,9 @@ class SlabCache:
         self.uploads += 1
         if self.pack:
             n = host.shape[1]
-            if n % 2:
-                host = np.concatenate(
-                    [host, np.zeros((host.shape[0], 1), np.uint8)], axis=1
-                )
-            packed = host[:, 0::2] | (host[:, 1::2] << 4)
-            buf = _unpack_nibbles(jax.device_put(packed, self.device), n)
+            buf = _unpack_nibbles(
+                jax.device_put(pack_nibbles(host), self.device), n
+            )
         else:
             buf = jax.device_put(host, self.device)
         if wait:

@@ -702,15 +702,11 @@ def _codes_to_global(mesh, mesh_key: int, codes: np.ndarray):
 
     if jax.process_count() > 1 or int(codes.max(initial=0)) > 0xF:
         return _to_global(mesh, codes, PartitionSpec())
+    from ldweaver_tpu.parallel.slabs import pack_nibbles
+
     n = codes.shape[1]
-    h = codes
-    if n % 2:
-        h = np.concatenate(
-            [h, np.zeros((h.shape[0], 1), np.uint8)], axis=1
-        )
-    packed = h[:, 0::2] | (h[:, 1::2] << 4)
     return _build_codes_unpack(mesh_key, n)(
-        _to_global(mesh, packed, PartitionSpec())
+        _to_global(mesh, pack_nibbles(codes), PartitionSpec())
     )
 
 
@@ -792,12 +788,14 @@ class _SegCheckpoint:
 
 
 def _default_out_budget() -> int:
-    """Device bytes one in-flight extraction segment may occupy.  At most
-    FOUR segments' outputs are live on device at once (two enqueued by
-    the double-buffered dispatch loop + up to two whose drains are still
-    pulling), so the device holds at most 4x this in scan outputs —
-    1 GiB at the default on a 16 GB v5e.  Overridable via
-    LDW_SPMD_OUT_BUDGET."""
+    """Device bytes one in-flight extraction segment may occupy.  Host
+    sr mode: at most FOUR segments' outputs are live at once (two
+    enqueued by the double-buffered dispatch loop + up to two whose
+    drains are still pulling) — 1 GiB at the default on a 16 GB v5e.
+    Device sr mode: the SR outputs stay resident by design (gated on
+    fitting ~35% of HBM) and the fused LR buffers are chunk-flushed at
+    this budget with <=2 chunks draining, so un-pulled LR bytes stay
+    ~3x this.  Overridable via LDW_SPMD_OUT_BUDGET."""
     env = os.environ.get("LDW_SPMD_OUT_BUDGET")
     if env:
         return int(env)
@@ -936,7 +934,16 @@ def spmd_blk5_sweep(
         sr_budget = int(hbm * 0.35) if hbm else (4 << 30)
         device_reduce = padded_sr_bytes <= sr_budget and g < (1 << 30)
     else:
-        device_reduce = sr_reduce == "device"
+        # the int32 distance key k2 = g - |2d - g| computes 2*d on
+        # device: explicit "device" must honour the same overflow gate
+        # as "auto" (silently wrong groupings are worse than the host
+        # fallback's correctness)
+        device_reduce = sr_reduce == "device" and g < (1 << 30)
+        if sr_reduce == "device" and not device_reduce and verbose:
+            print(
+                "sr_reduce='device' ignored: g >= 2^30 overflows the"
+                " int32 distance key; using the host path", flush=True,
+            )
 
     results: Dict[Tuple[int, int], object] = {}
     inflight: deque = deque()
@@ -1010,12 +1017,24 @@ def spmd_blk5_sweep(
     # strict per-segment pulls (and the tightest crash granularity)
     pull_chunk = max(1, int(os.environ.get("LDW_SPMD_PULL_CHUNK", "8")))
     chunk_pend: list = []
+    chunk_bytes = 0
     seg_ckpt = None
     if checkpoint_dir and not multiproc:
+        # the plan must fingerprint the DATA, not just the shapes: a
+        # genotype correction that leaves every block's rank max, purity
+        # flag and pow-4 SR cap class unchanged would otherwise replay a
+        # stale run's MI arrays silently.  crc32 streams ~1 GB/s, so
+        # this costs ~0.1 s at the bench shape (only when checkpointing)
+        import zlib
+
+        crc = 0
+        for a in (ranked.rank_codes, ranked.pos, ranked.r,
+                  paint_sorted, hdw):
+            crc = zlib.crc32(np.ascontiguousarray(a).view(np.uint8), crc)
         plan = repr((
             snp_data.nsnp, snp_data.nseq, g, int(sr_dist),
             float(lr_retain_links), lr_prob, B, K, k_row, int(topk_cap),
-            nsh, "device" if device_reduce else "host",
+            nsh, "device" if device_reduce else "host", crc,
             [(k, tuple(c)) for k, c, _p in segments],
         ))
         seg_ckpt = _SegCheckpoint(checkpoint_dir, plan)
@@ -1194,8 +1213,18 @@ def spmd_blk5_sweep(
                         if pre is None else None
                     )
                     chunk_pend.append((seg_i, chunk, buf, pre))
-                    if len(chunk_pend) >= pull_chunk:
+                    if buf is not None:
+                        chunk_bytes += buf.nbytes
+                    # flush on count OR bytes: a pending chunk holds at
+                    # most ~out_budget of fused LR buffers, so with <=2
+                    # draining chunks live fused bytes stay ~3x budget
+                    # even on LR-dominated shapes (sparse SR, big K)
+                    if (
+                        len(chunk_pend) >= pull_chunk
+                        or chunk_bytes >= out_budget_bytes
+                    ):
                         items, chunk_pend = chunk_pend, []
+                        chunk_bytes = 0
                         pending_drains.append(
                             drain_pool.submit(_drain_lr_chunk, items)
                         )
@@ -1231,7 +1260,7 @@ def spmd_blk5_sweep(
                 run_device_reduction, mesh, segs_t, pos_dev, paint_dev,
                 ranked_pos=ranked.pos, paint_sorted=paint_sorted,
                 B=B, nb=nb, g=g, sr_dist=int(sr_dist), nclust=nclust,
-                total_sr=int(sr_counts.sum()), pull_pool=pull_pool,
+                total_sr=int(sr_counts.sum()),
             )
 
         t_emit0 = _time.time()

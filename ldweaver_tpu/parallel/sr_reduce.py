@@ -404,7 +404,7 @@ def run_device_reduction(
     mesh, segs, pos_dev, paint_dev, *,
     ranked_pos: np.ndarray, paint_sorted: np.ndarray,
     B: int, nb: int, g: int, sr_dist: int, nclust: int, total_sr: int,
-    pull_pool=None, cap0: Optional[int] = None,
+    cap0: Optional[int] = None,
 ) -> DeviceSrReduction:
     """Run both device passes + the host fit, returning candidate tables
     in canonical order.  Safe to call from a worker thread (pure jax

@@ -77,6 +77,31 @@ def test_interrupt_then_resume_byte_identical(tmp_path, monkeypatch, mode):
     assert lr_res2 == lr_ref
 
 
+def test_data_change_invalidates(tmp_path):
+    """Same shapes, same knobs, different GENOTYPES: the plan crc must
+    invalidate the checkpoints (a content change that leaves every
+    block's rank max / purity / cap class intact would otherwise replay
+    the stale run's MI arrays silently)."""
+    sd, w, cds_var = _synth_case(seed=44)
+    ck = tmp_path / "ck"
+    _run(
+        sd, w, cds_var, tmp_path, "a", "spmd",
+        checkpoint_dir=str(ck), device_budget_bytes=1 << 16,
+    )
+    sd.codes[0, 0] = (int(sd.codes[0, 0]) + 1) % 2  # one corrected call
+    _, sr_b, lr_b = _run(
+        sd, w, cds_var, tmp_path, "b", "spmd",
+        checkpoint_dir=str(ck), device_budget_bytes=1 << 16,
+        phase_timings=(pt := {}),
+    )
+    assert pt["spmd"]["seg_ckpt_hits"] == 0
+    _, sr_c, lr_c = _run(
+        sd, w, cds_var, tmp_path, "c", "spmd",
+        device_budget_bytes=1 << 16,
+    )
+    assert sr_b == sr_c and lr_b == lr_c
+
+
 def test_stale_plan_invalidates(tmp_path):
     """Changing an output-relevant knob must invalidate checkpoints
     instead of replaying mismatched arrays.  (A changed budget that
