@@ -12,7 +12,10 @@ round-2 pipeline-leg crash took the streaming leg down with it):
      sweep of the Hamming-weighted 5-allele contingency MI statistic
      (reference: R/computePairwiseMI.R:167-398 + src/computeMI.cpp:11-21)
      over a synthetic nsnp x nseq tensor - device-only reduction, one
-     host pull.
+     host pull per rep.  The headline is the MEDIAN of BENCH_SWEEP_REPS
+     (default 5) back-to-back executions — robust to relay pull weather
+     (a single-sample headline swung 20%+ round-over-round with no code
+     change on the timed path); the rep list and best are in detail.
   2. **pipeline** (detail.pipeline_*): the PRODUCTION path end-to-end -
      perform_mi_computation(backend="spmd") at 616 sequences (the
      reference README's S. pneumoniae scale, README.md:123) including
@@ -114,11 +117,20 @@ def synth(nsnp, nseq, seed=0):
     return codes, pos, uqe, r, w
 
 
+SWEEP_REPS = int(os.environ.get("BENCH_SWEEP_REPS", 2 if SMOKE else 5))
+
+
 def bench_tpu(codes, pos, uqe, r, w):
     """Time the fast rank-compacted sweep (the production fast path).
 
-    The first call compiles + runs every bucket; the timed second call is
-    pure execution (all shapes identical)."""
+    The first call compiles + runs every bucket; then SWEEP_REPS
+    back-to-back executions are timed individually (each one execution
+    plus its single relay pull) and the MEDIAN is the headline.  A single
+    sample was indistinguishable from relay pull weather (±25% on a
+    sub-second leg — CLAUDE.md "pull latency is weather"; the r4
+    headline "regression", VERDICT r4 weak #1); the median of 5 is
+    robust to a bad round trip while the full rep list + best are
+    reported for cross-round comparison."""
     from ldweaver_tpu.core.snp_tensor import SnpData
 
     acgtn = np.zeros((5, codes.shape[1]), np.int64)
@@ -141,15 +153,25 @@ def bench_tpu(codes, pos, uqe, r, w):
     # one-time prep (rank encode + device transfer) amortises over the
     # O(nsnp^2) sweep; warmup compiles all buckets
     state = prepare_fast_sweep(sd, w, block=BLOCK)
-    fast_lr_topk(sr_dist=SR_DIST, topk=1024, state=state)
-    t0 = time.time()
-    pos1, pos2, mi = fast_lr_topk(sr_dist=SR_DIST, topk=1024, state=state)
-    wall = time.time() - t0
-    assert np.isfinite(mi).all() and mi.size > 0
-
+    fast_lr_topk(sr_dist=SR_DIST, topk=1024, state=state)  # warmup/compile
+    walls = []
+    for _ in range(max(1, SWEEP_REPS)):
+        t0 = time.time()
+        pos1, pos2, mi = fast_lr_topk(
+            sr_dist=SR_DIST, topk=1024, state=state
+        )
+        walls.append(time.time() - t0)
+        assert np.isfinite(mi).all() and mi.size > 0
+    walls_sorted = sorted(walls)
+    n = len(walls_sorted)
+    median = (
+        walls_sorted[n // 2]
+        if n % 2
+        else 0.5 * (walls_sorted[n // 2 - 1] + walls_sorted[n // 2])
+    )
     nsnp = codes.shape[1]
     pairs_count = nsnp * (nsnp - 1) // 2
-    return pairs_count / wall, wall, pairs_count
+    return pairs_count / median, median, pairs_count, walls
 
 
 def _snp_data(codes, pos, uqe, r):
@@ -167,14 +189,18 @@ def _snp_data(codes, pos, uqe, r):
 
 def leg_sweep():
     codes, pos, uqe, r, w = synth(NSNP, NSEQ)
-    rate, wall, pairs_count = bench_tpu(codes, pos, uqe, r, w)
+    rate, median, pairs_count, walls = bench_tpu(codes, pos, uqe, r, w)
+    best = min(walls)
     return {
         "nsnp": NSNP,
         "nseq": NSEQ,
         "block": BLOCK,
         "pairs": pairs_count,
         "sweep_pairs_per_s": round(rate, 1),
-        "sweep_wall_s": round(wall, 3),
+        "sweep_wall_s": round(median, 3),  # median of the reps below
+        "sweep_wall_reps_s": [round(x, 3) for x in walls],
+        "sweep_wall_best_s": round(best, 3),
+        "sweep_pairs_per_s_best": round(pairs_count / best, 1),
     }
 
 

@@ -115,8 +115,23 @@ def _next_pow2(n: int) -> int:
 
 
 def estimate_hamming_distance_weights(
-    snp_data, threshold: float = 0.1, backend: str = "jax"
+    snp_data, threshold: float = 0.1, backend: str = "jax",
+    max_blk_sz: int = 10000, n_devices=None,
 ) -> np.ndarray:
     if backend == "numpy":
         return hamming_weights_numpy(snp_data.codes, threshold)
+    if backend == "spmd":
+        # compute from the stratified rank-code tensor BLK5 is about to
+        # upload anyway (equality counts are invariant to its per-site
+        # relabelling + column permutation): one shared transfer, one
+        # dispatch, one [nseq] pull — instead of BLK4's own ~40 MB
+        # upload + program + pull through the relay
+        from ldweaver_tpu.parallel.spmd_sweep import hamming_weights_spmd
+
+        out = hamming_weights_spmd(
+            snp_data, threshold, max_blk_sz=max_blk_sz,
+            n_devices=n_devices,
+        )
+        if out is not None:
+            return out
     return hamming_weights_jax(snp_data.codes, threshold)

@@ -837,8 +837,11 @@ def perform_mi_computation(
     # the reference rounds the block size to a 1000-multiple (:69); that
     # quirk only shapes the COMPAT path's block decomposition.  The
     # fast/spmd tile size is an internal knob where 4096 (a pow2, the
-    # measured v5e optimum) must not degrade to 4000.
-    fast_blk = min(max_blk_sz, 1 << int(np.ceil(np.log2(max(snp_data.nsnp, 2)))))
+    # measured v5e optimum) must not degrade to 4000.  Shared with BLK4's
+    # device Hamming so both resolve the same prepare_spmd_codes entry.
+    from ldweaver_tpu.parallel.spmd_sweep import fast_block_size
+
+    fast_blk = fast_block_size(snp_data.nsnp, max_blk_sz)
     max_blk_sz = round_blk_sz(max_blk_sz)  # :69
     blocks = make_blocks(snp_data.nsnp, max_blk_sz)
     nclust = cds_var.nclust

@@ -884,11 +884,19 @@ def _fast_lr_topk_streaming(
         for c in caches:
             c.unpin()
     finally:
-        # exception-safe: a raising dispatch must not leak prefetch
-        # workers blocked in block_until_ready on a wedged relay —
-        # ThreadPoolExecutor's atexit join would then hang interpreter
-        # exit (CLAUDE.md: never leave a TPU client un-exitable)
+        # exception-safe best effort: cancel QUEUED prefetches so they
+        # never start; a worker already blocked inside block_until_ready
+        # on a wedged relay is still joined at interpreter exit (no way
+        # to interrupt it — CLAUDE.md: never kill a TPU client).  Clear
+        # each cache's pending map so a cancelled future is re-uploaded
+        # as a plain miss if the cache is ever reused (SlabCache.get
+        # also tolerates one directly).
         upload_pool.shutdown(wait=False, cancel_futures=True)
+        for c in caches:
+            c._pending = {
+                bi: f for bi, f in c._pending.items()
+                if not (f.cancelled() or (f.done() and f.exception()))
+            }
 
     # cross-device merge: pull the nd small carries, combine on host
     mv = np.concatenate([np.asarray(c[0]) for c in carries])

@@ -142,6 +142,8 @@ class SlabCache:
             self.hits += 1
             return self._cache[bi]
         fut = self._pending.pop(bi, None)
+        if fut is not None and fut.cancelled():
+            fut = None  # a pool shutdown cancelled it: treat as a miss
         buf = fut.result() if fut is not None else self._upload(bi)
         self._cache[bi] = buf
         self._evict()

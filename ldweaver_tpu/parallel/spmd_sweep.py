@@ -624,18 +624,31 @@ def _local_rows(x: np.ndarray, nsh: int) -> np.ndarray:
 def _pull_sharded(o) -> np.ndarray:
     """Host copy of a P('b')-sharded output.  Single-process: one pull.
     Multi-process: concatenate this host's addressable shards (in global
-    order) and allgather across processes so every host sees all tiles."""
+    order) and allgather across processes so every host sees all tiles.
+    Every call records its blocking wall on the active PullRecorder
+    (utils/relay_stats.py) — relay round-trip latency is weather and
+    every committed artifact carries the histogram."""
+    import time as _time
+
     import jax
 
-    if jax.process_count() == 1:
-        return np.asarray(o)
-    shards = sorted(
-        o.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
-    local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
-    from jax.experimental import multihost_utils
+    from ldweaver_tpu.utils.relay_stats import record_pull
 
-    return multihost_utils.process_allgather(local, tiled=True)
+    t0 = _time.time()
+    try:
+        if jax.process_count() == 1:
+            return np.asarray(o)
+        shards = sorted(
+            o.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        local = np.concatenate(
+            [np.asarray(s.data) for s in shards], axis=0
+        )
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(local, tiled=True)
+    finally:
+        record_pull(_time.time() - t0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -710,6 +723,116 @@ def _codes_to_global(mesh, mesh_key: int, codes: np.ndarray):
     )
 
 
+# --------------------------------------------------------------------------
+# Shared stratify + device code upload (BLK4 Hamming and BLK5 reuse ONE
+# upload), and the device Hamming-weight program computed from it
+# --------------------------------------------------------------------------
+_PREP_CACHE: Dict[tuple, tuple] = {}  # one-slot: key -> (mesh, mesh_key, ranked, codes_dev)
+
+
+def fast_block_size(nsnp: int, max_blk_sz: int) -> int:
+    """The fast/SPMD tile size: pow2-capped max_blk_sz (the measured v5e
+    optimum 4096 must not degrade to the reference's 1000-multiple
+    rounding — core/sweep.perform_mi_computation uses this same rule, and
+    BLK4 must too so the two blocks share one device upload)."""
+    import math as _math
+
+    return min(max_blk_sz, 1 << int(_math.ceil(_math.log2(max(nsnp, 2)))))
+
+
+def prepare_spmd_codes(snp_data, block: int, n_devices: Optional[int]):
+    """Stratify + upload the rank-code tensor ONCE per (data, block,
+    mesh) and cache the device reference, so BLK4 (Hamming weights) and
+    BLK5 (the MI sweep) share a single host->device transfer instead of
+    each pushing its own ~40 MB through the relay (VERDICT r4 weak #2:
+    BLK4 was 129 s of the 439 s e2e for milliseconds of compute).
+    Returns (mesh, mesh_key, ranked, codes_dev).  One-slot cache: the
+    previous entry's device memory is released when the data changes."""
+    import zlib
+
+    from ldweaver_tpu.parallel.sweep import get_mesh
+
+    mesh = get_mesh(n_devices)
+    mesh_key = id(mesh)
+    _MESH_STORE[mesh_key] = mesh
+    crc = zlib.crc32(
+        np.ascontiguousarray(snp_data.codes).view(np.uint8).ravel()
+    )
+    key = (crc, snp_data.codes.shape, int(block), mesh_key)
+    hit = _PREP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ranked = stratify(
+        snp_data.codes, snp_data.acgtn_table, snp_data.pos, snp_data.r,
+        block,
+    )
+    codes_dev = _codes_to_global(mesh, mesh_key, ranked.rank_codes)
+    _PREP_CACHE.clear()  # one slot: drop the previous device tensor
+    _PREP_CACHE[key] = (mesh, mesh_key, ranked, codes_dev)
+    return _PREP_CACHE[key]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_hamming(mesh_key: int, nseq: int, nsnp: int, npad: int,
+                   thresh: int):
+    """Neighbour counts for the Hamming weights from the RANKED code
+    tensor (reference `estimate_Hamming_distance_weights`,
+    R/performPopulationStuctureCorrection.R:20-81).  Valid because the
+    equality count sum_i 1[c_s[i] == c_t[i]] is invariant under (a) any
+    column permutation (stratify's r-sort) and (b) any per-site
+    INJECTIVE relabelling (rank_encode maps each site's alleles through
+    a permutation of 0..4), and the `npad` zero pad columns match for
+    every pair, adding exactly npad to each count — subtracted back.
+    bf16 one-hot matmuls with f32 accumulation are integer-exact for
+    counts < 2^24.  ONE dispatch, ONE [nseq] i32 pull."""
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def fn(codes):  # [nseq, nsnp + npad] u8 replicated
+        acc = jnp.zeros((nseq, nseq), jnp.float32)
+        for a in range(5):
+            m = (codes == a).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot(
+                m, m.T, preferred_element_type=jnp.float32
+            )
+        shared = acc - np.float32(npad)
+        near = (nsnp - shared) < thresh  # strict <, R/perform...R:76
+        return near.sum(axis=1).astype(jnp.int32)
+
+    return jax.jit(
+        fn, out_shardings=NamedSharding(mesh, PartitionSpec())
+    )
+
+
+def hamming_weights_spmd(
+    snp_data, threshold: float, max_blk_sz: int,
+    n_devices: Optional[int] = None, max_nseq: int = 16384,
+) -> Optional[np.ndarray]:
+    """BLK4 on the shared BLK5 upload (see prepare_spmd_codes).  Returns
+    None when the [nseq, nseq] f32 workspace would not comfortably fit
+    (caller falls back to the seq-blocked `hamming_weights_jax`)."""
+    nseq = snp_data.nseq
+    if nseq > max_nseq:
+        return None
+    block = fast_block_size(snp_data.nsnp, max_blk_sz)
+    mesh, mesh_key, ranked, codes_dev = prepare_spmd_codes(
+        snp_data, block, n_devices
+    )
+    npad = ranked.pos.size - snp_data.nsnp
+    thresh = int(snp_data.nsnp * threshold)  # as.integer truncation, :23
+    fn = _build_hamming(mesh_key, nseq, snp_data.nsnp, int(npad), thresh)
+    import time as _time
+
+    from ldweaver_tpu.utils.relay_stats import record_pull
+
+    t0 = _time.time()
+    neigh = np.asarray(fn(codes_dev), dtype=np.int64)
+    record_pull(_time.time() - t0)
+    return 1.0 / (neigh + 1.0)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_lr_concat(mesh_key: int):
     """Concatenate a chunk's fused LR buffers on device (one jit object;
@@ -729,13 +852,15 @@ def _build_lr_concat(mesh_key: int):
 
 
 def _unfuse_lr(buf: np.ndarray, K: int) -> Dict[str, np.ndarray]:
-    """Host inverse of _build_lr_fuse — bit-exact (vals/idx are bitcast
-    views; the count columns are small non-negative ints)."""
+    """Host inverse of _build_lr_fuse — bit-exact by construction: every
+    int32-origin column (the head counts and idx) decodes via .view, not
+    value conversion, so the unpack stays correct even if a head column
+    ever carries a negative value (ADVICE r4)."""
     return dict(
-        n_lr=buf[:, 0].astype(np.int32),
+        n_lr=np.ascontiguousarray(buf[:, 0]).view(np.int32),
         exact=buf[:, 1].astype(bool),
-        row_max=buf[:, 2].astype(np.int32),
-        n_sr=buf[:, 3].astype(np.int32),
+        row_max=np.ascontiguousarray(buf[:, 2]).view(np.int32),
+        n_sr=np.ascontiguousarray(buf[:, 3]).view(np.int32),
         vals=np.ascontiguousarray(buf[:, 4 : 4 + K]).view(np.float32),
         idx=np.ascontiguousarray(buf[:, 4 + K : 4 + 2 * K]).view(np.int32),
     )
@@ -845,16 +970,12 @@ def spmd_blk5_sweep(
     byte-identical to "host" by construction); "auto" picks "device"
     when the padded SR outputs fit the device budget."""
     from ldweaver_tpu.parallel.slabs import panel_pair_order
-    from ldweaver_tpu.parallel.sweep import get_mesh
 
-    mesh = get_mesh(n_devices)
-    mesh_key = id(mesh)
-    _MESH_STORE[mesh_key] = mesh
-    nsh = mesh.devices.size
-
-    ranked = stratify(
-        snp_data.codes, snp_data.acgtn_table, snp_data.pos, snp_data.r, block
+    # shared stratify + upload (BLK4 may already have paid for both)
+    mesh, mesh_key, ranked, codes_dev = prepare_spmd_codes(
+        snp_data, block, n_devices
     )
+    nsh = mesh.devices.size
     B = ranked.block
     nb = ranked.rank_codes.shape[1] // B
     valid = np.arange(ranked.pos.size) < snp_data.nsnp
@@ -891,7 +1012,6 @@ def spmd_blk5_sweep(
     w32, wparts = _wparts(hdw)
     from jax.sharding import PartitionSpec as P
 
-    codes_dev = _codes_to_global(mesh, mesh_key, ranked.rank_codes)
     wparts_dev = _to_global(mesh, wparts, P())
     w32_dev = _to_global(mesh, w32, P())
     r_dev = _to_global(mesh, ranked.r, P())
@@ -922,33 +1042,74 @@ def spmd_blk5_sweep(
         for s0 in range(0, len(plist), seg):
             segments.append((key, plist[s0 : s0 + seg], seg))
 
-    # ---- where does the SR background reduction run?  "device" keeps
-    # every segment's (ladder-padded) SR outputs resident in HBM for the
-    # on-device group-stats + candidate passes (parallel/sr_reduce.py);
-    # gate on their total size so >HBM SR tables keep the host path.
+    # ---- where does the SR background reduction run?
+    #   "flat" (reported as sr_reduce="device"): every segment's
+    #     (ladder-padded) SR outputs stay resident and the single-pass
+    #     programs replicate the flat link arrays — bounded by one
+    #     device's HBM budget.
+    #   "part" (sr_reduce="device-part"): the grid-partitioned >HBM
+    #     path (sr_reduce.py) — shard-local compaction per k2 range, so
+    #     the replicated working set is one range, not the whole table.
+    #     Needs nsh > 1 to reduce per-device residency.
+    #   "host": pull the full SR table (the byte oracle; GB-scale pulls
+    #     through the relay — warn LOUDLY when a fallback lands here).
     padded_sr_bytes = sum(8 * k[3] * p for k, _c, p in segments)
-    if sr_reduce == "auto":
+    env_budget = os.environ.get("LDW_SR_BUDGET")
+    if env_budget:
+        sr_budget = int(env_budget)
+    else:
         from ldweaver_tpu.parallel.slabs import auto_budget
 
         hbm = auto_budget()
         sr_budget = int(hbm * 0.35) if hbm else (4 << 30)
-        device_reduce = padded_sr_bytes <= sr_budget and g < (1 << 30)
-    else:
-        # the int32 distance key k2 = g - |2d - g| computes 2*d on
-        # device: explicit "device" must honour the same overflow gate
-        # as "auto" (silently wrong groupings are worse than the host
-        # fallback's correctness)
-        device_reduce = sr_reduce == "device" and g < (1 << 30)
-        if sr_reduce == "device" and not device_reduce and verbose:
+    # the int32 distance key k2 = g - |2d - g| computes 2*d on device:
+    # every device mode honours the overflow gate (silently wrong
+    # groupings are worse than the host fallback's correctness)
+    g_ok = g < (1 << 30)
+    flat_fits = padded_sr_bytes <= sr_budget
+    # partitioned per-device footprint: the sharded seg residency
+    # (/nsh) plus transient flat locals (~3x) must fit; the replicated
+    # range buffer is sized to sr_budget//2 by partition_plan
+    part_possible = nsh > 1 and (padded_sr_bytes // nsh) * 3 <= sr_budget
+    if not g_ok:
+        sr_mode = "host"
+        if sr_reduce in ("device", "part") and verbose:
             print(
-                "sr_reduce='device' ignored: g >= 2^30 overflows the"
-                " int32 distance key; using the host path", flush=True,
+                f"sr_reduce={sr_reduce!r} ignored: g >= 2^30 overflows"
+                " the int32 distance key; using the host path",
+                flush=True,
             )
+    elif sr_reduce == "host":
+        sr_mode = "host"
+    elif sr_reduce == "device":
+        sr_mode = "flat"  # explicit override: user accepts the budget
+    elif sr_reduce == "part":
+        sr_mode = "part" if nsh > 1 else "flat"
+    else:  # auto
+        sr_mode = (
+            "flat" if flat_fits else ("part" if part_possible else "host")
+        )
+        if sr_mode == "host":
+            print(
+                f"WARNING: SR outputs ({padded_sr_bytes / 1e9:.1f} GB"
+                f" padded) exceed the device budget"
+                f" ({sr_budget / 1e9:.1f} GB) and the mesh has"
+                f" {nsh} device(s): falling back to HOST-pull SR"
+                " reduction — expect GB-scale device->host transfers"
+                " (relay-bound).  Add devices or raise LDW_SR_BUDGET"
+                " to keep the reduction on device.", flush=True,
+            )
+    device_reduce = sr_mode != "host"
 
     results: Dict[Tuple[int, int], object] = {}
     inflight: deque = deque()
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
+
+    from ldweaver_tpu.utils.relay_stats import PullRecorder, set_recorder
+
+    pull_rec = PullRecorder()
+    set_recorder(pull_rec)
 
     debug = os.environ.get("LDW_SPMD_DEBUG") == "1"
     t_phase = {"dispatch_s": 0.0, "pull_s": 0.0, "emit_s": 0.0}
@@ -1244,24 +1405,50 @@ def spmd_blk5_sweep(
                     drain_pool.submit(_drain_lr_chunk, chunk_pend)
                 )
                 chunk_pend = []
+
+            def _submit_reduction():
+                from ldweaver_tpu.parallel.sr_reduce import (
+                    run_device_reduction,
+                )
+
+                segs_t = tuple(seg_keep[i] for i in range(len(segments)))
+                pos_blocks = [
+                    ranked.pos[i * B : (i + 1) * B][
+                        valid[i * B : (i + 1) * B]
+                    ]
+                    for i in range(nb)
+                ] if sr_mode == "part" else None
+                return bg_pool.submit(
+                    run_device_reduction, mesh, segs_t, pos_dev, paint_dev,
+                    ranked_pos=ranked.pos, paint_sorted=paint_sorted,
+                    B=B, nb=nb, g=g, sr_dist=int(sr_dist), nclust=nclust,
+                    total_sr=int(sr_counts.sum()),
+                    mode=sr_mode,
+                    seg_chunks=[(c, p) for _k, c, p in segments],
+                    pos_blocks=pos_blocks,
+                    part_budget_bytes=max(sr_budget // 2, 64 << 20),
+                )
+
+            # kick off the on-device SR reduction on its own worker so
+            # its compiles/pulls overlap the LR chunk drains AND the
+            # emission loop (the r4 pipeline ran them back-to-back:
+            # ~226 s of LR pulls then ~220 s of reduction, two serial
+            # relay-bound phases for 1.5 s of device work).  Every
+            # segment's SR outputs are resident once the dispatch loop
+            # above finishes, so the reduction only needs the drains for
+            # nothing — it can start NOW.  Single-process only:
+            # multi-process must issue its cross-process collectives
+            # (the drains' process_allgathers) in one deterministic
+            # order on every rank, so there the reduction still waits
+            # for the drains to finish.
+            red_fut = None
+            if device_reduce and not multiproc:
+                red_fut = _submit_reduction()
             while pending_drains:  # join (+ surface exceptions of) drains
                 pending_drains.popleft().result()
 
-        # kick off the on-device SR reduction on its own worker so its
-        # compiles/pulls overlap the emission loop below (it only issues
-        # jax dispatches + pulls + numpy; collectives live inside the
-        # compiled programs, in one deterministic order)
-        red_fut = None
-        if device_reduce:
-            from ldweaver_tpu.parallel.sr_reduce import run_device_reduction
-
-            segs_t = tuple(seg_keep[i] for i in range(len(segments)))
-            red_fut = bg_pool.submit(
-                run_device_reduction, mesh, segs_t, pos_dev, paint_dev,
-                ranked_pos=ranked.pos, paint_sorted=paint_sorted,
-                B=B, nb=nb, g=g, sr_dist=int(sr_dist), nclust=nclust,
-                total_sr=int(sr_counts.sum()),
-            )
+        if device_reduce and red_fut is None:
+            red_fut = _submit_reduction()
 
         t_emit0 = _time.time()
         per_tile_pull = (
@@ -1272,7 +1459,9 @@ def spmd_blk5_sweep(
             tiles=0, fallbacks=0, retries=0, sr_pairs=0,
             segments=len(segments), programs=len(buckets),
             seg_ckpt_hits=seg_hits,
-            sr_reduce="device" if device_reduce else "host",
+            sr_reduce={"flat": "device", "part": "device-part"}.get(
+                sr_mode, "host"
+            ),
             pull_mb=round(
                 sum(p * per_tile_pull(k) for k, _, p in segments) / 1e6, 1
             ),
@@ -1324,7 +1513,14 @@ def spmd_blk5_sweep(
                     g, sr_dist, lr_prob, sr_links, lr_rows_sink,
                     emit_sr=False,
                 )
+        # emit_s is the emission loop alone; waiting out the (overlapped)
+        # SR reduction is its own line item so the phase split stays
+        # honest (the r4 artifact folded the reduction wait into emit_s
+        # and made host emission look like the bottleneck)
+        t_phase["emit_s"] = _time.time() - t_emit0
+        t_bgw = _time.time()
         dev_sr = red_fut.result() if red_fut is not None else None
+        t_phase["bg_wait_s"] = _time.time() - t_bgw
         if dev_sr is not None:
             stats.update(dev_sr.stats)
     finally:
@@ -1333,8 +1529,9 @@ def spmd_blk5_sweep(
         # exit on a wedged relay pull (CLAUDE.md: never kill a TPU client)
         for p in (pool, compile_pool, pull_pool, drain_pool, bg_pool):
             p.shutdown(cancel_futures=True)
-    t_phase["emit_s"] = _time.time() - t_emit0
+        set_recorder(None)
     stats.update({k: round(v, 2) for k, v in t_phase.items()})
+    stats.update(pull_rec.summary())
     if verbose or debug:
         print(
             f"SPMD sweep: {stats['tiles']} tiles over {nsh} device(s), "

@@ -278,6 +278,250 @@ def _build_candidates(mesh_key: int, B: int, g: int, sr_dist: int,
 
 
 # --------------------------------------------------------------------------
+# >HBM scale path: grid-partitioned reduction over the mesh.
+#
+# The single-pass programs above REPLICATE the flat link arrays on every
+# device (the all_gather in _flat_segments) because GSPMD's distributed
+# sort is a rendezvous storm; that caps the device path at flat arrays
+# that fit one device's HBM.  Past that, the k2 grid [1, 2*sr_dist) is
+# split into contiguous RANGES sized from exact host-side counts (every
+# link's distance key is a pure function of the static positions), and
+# each range runs two steps:
+#   (a) a shard_map'd pass where each device compacts ITS OWN row shard's
+#       links in the range into a host-proven cap — no replication, no
+#       collectives;
+#   (b) the same sort + order-statistics program as the single-pass path,
+#       over the compacted range only (replicated, but now bounded by the
+#       range size, not the whole table).
+# Group multisets are identical to the single-pass path (ranges are
+# disjoint and exhaustive), so the fits — and therefore sr_links.tsv —
+# stay byte-identical to the host-pull oracle.  Candidate extraction
+# needs no ranges at all: its compaction is shard-local (order is
+# irrelevant — candidates_to_tables re-sorts canonically), so it scales
+# with the mesh in one pass.  Preserves `mergeNsort_sr_links` semantics
+# (R/computePairwiseMI.R:400-495).
+# --------------------------------------------------------------------------
+def _tile_count_le(pos_f: np.ndarray, pos_t: np.ndarray, g: int,
+                   max_len: int, same_block: bool) -> int:
+    """Exact #pairs of one tile with integer circular len <= max_len."""
+    from ldweaver_tpu.parallel.spmd_sweep import tile_sr_count
+
+    if max_len <= 0:
+        return 0
+    return tile_sr_count(pos_f, pos_t, g, max_len, same_block)
+
+
+def partition_plan(
+    seg_chunks, nsh: int, pos_blocks, g: int, sr_dist: int,
+    part_budget_bytes: int, bytes_per_link: int = 16,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(bounds, caps): k2-range boundaries [P+1] (ranges [b_i, b_{i+1}),
+    b_0 = 1, b_P = 2*sr_dist) and per-(partition, device) EXACT live
+    counts [P, nsh], grown until every range's replicated buffer
+    (nsh * max_dev_count * bytes_per_link) fits the budget.
+
+    seg_chunks: [(chunk tile list, padded_rows)] in dispatch order — the
+    scan shards each segment's rows contiguously over devices, so device
+    d owns chunk[d*rpd : (d+1)*rpd] of every segment."""
+    # per-device tile lists (host mirror of the P('b') row sharding)
+    dev_tiles: List[list] = [[] for _ in range(nsh)]
+    for chunk, padded in seg_chunks:
+        rpd = padded // nsh
+        for d in range(nsh):
+            dev_tiles[d].extend(chunk[d * rpd : (d + 1) * rpd])
+
+    def counts_at(bound_k2: int) -> np.ndarray:
+        """[nsh] counts of live links with k2 < bound_k2 per device."""
+        max_len = (bound_k2 - 1) // 2  # k2 <= bound-1  <=>  len <= this
+        out = np.zeros(nsh, np.int64)
+        for d in range(nsh):
+            for bi, bj in dev_tiles[d]:
+                out[d] += _tile_count_le(
+                    pos_blocks[bi], pos_blocks[bj], g, max_len, bi == bj
+                )
+        return out
+
+    P = 2
+    while True:
+        bounds = np.unique(
+            np.linspace(1, 2 * sr_dist, P + 1).astype(np.int64)
+        )
+        cum = np.stack([counts_at(int(b)) for b in bounds])  # [P+1, nsh]
+        caps = cum[1:] - cum[:-1]  # [P, nsh]
+        worst = int(caps.max(axis=1).max()) if caps.size else 0
+        if worst * nsh * bytes_per_link <= part_budget_bytes or P >= 256:
+            return bounds, caps
+        P *= 2
+
+
+@functools.lru_cache(maxsize=None)
+def _build_part_compact(mesh_key: int, B: int, g: int, sr_dist: int,
+                        lo: int, hi: int, cap: int):
+    """Range step (a): shard-local compaction of (k2, mono-MI, c1, c2)
+    for live links with k2 in [lo, hi).  Dead/padding slots carry the
+    _DEAD key, so the downstream sort needs no counts."""
+    from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
+
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local(segs, pos, paint):
+        k2, mi, c1, c2, _gi, _gj, live = _flat_segments(
+            segs, pos, paint, B, g, sr_dist, None
+        )
+        inrange = live & (k2 >= lo) & (k2 < hi)
+        (idx,) = jnp.nonzero(inrange, size=cap, fill_value=-1)
+        ok = idx >= 0
+        idx0 = jnp.maximum(idx, 0)
+        out_k2 = jnp.where(ok, k2[idx0], _DEAD).astype(jnp.uint32)
+        out = jnp.stack(
+            [
+                out_k2,
+                _mono_u32(mi[idx0]),
+                c1[idx0].astype(jnp.uint32),
+                c2[idx0].astype(jnp.uint32),
+            ],
+            axis=1,
+        )
+        return out
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("b"), P(), P()), out_specs=P("b"),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_part_stats(mesh_key: int, lo: int, hi: int, nclust: int):
+    """Range step (b): the single-pass sort + rank-gather restricted to
+    grid slice [lo, hi), over the compacted range buffer."""
+    from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
+
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fn(buf):  # [rows, 4] u32: (k2|DEAD, mono, c1, c2)
+        buf = jax.lax.with_sharding_constraint(
+            buf, NamedSharding(mesh, P())
+        )
+        key = buf[:, 0].astype(jnp.int32)
+        mono = buf[:, 1]
+        c1 = buf[:, 2].astype(jnp.int32)
+        c2 = buf[:, 3].astype(jnp.int32)
+        grid = jnp.arange(lo, hi, dtype=jnp.int32)
+        F = key.shape[0]
+        ns, xlo, xhi = [], [], []
+        for c in range(1, nclust + 1):
+            member = (c1 == c) | (c2 == c)
+            keyc = jnp.where(member, key, _DEAD)
+            ks, vs = jax.lax.sort((keyc, mono), num_keys=2)
+            starts = jnp.searchsorted(ks, grid, side="left").astype(
+                jnp.int32
+            )
+            ends = jnp.searchsorted(ks, grid + 1, side="left").astype(
+                jnp.int32
+            )
+            n = ends - starts
+            m = n - 1
+            rlo = jnp.maximum(rank_lo(n), 0)
+            rhi = jnp.clip(rlo + 1, 0, jnp.maximum(m, 0))
+            i_lo = jnp.clip(starts + rlo, 0, F - 1)
+            i_hi = jnp.clip(starts + rhi, 0, F - 1)
+            ns.append(n)
+            xlo.append(_unmono_f32(vs[i_lo]))
+            xhi.append(_unmono_f32(vs[i_hi]))
+        u = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+            x.astype(jnp.int32) if x.dtype != jnp.float32 else x,
+            jnp.uint32,
+        )
+        return jnp.stack(
+            [u(jnp.stack(ns)), u(jnp.stack(xlo)), u(jnp.stack(xhi))]
+        )
+
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_local_cand_count(mesh_key: int, B: int, g: int, sr_dist: int,
+                            nclust: int):
+    """Shard-local candidate counts [nsh] (no replication)."""
+    from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
+
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local(segs, pos, paint, T):
+        k2, mi, c1, c2, _gi, _gj, live = _flat_segments(
+            segs, pos, paint, B, g, sr_dist, None
+        )
+        k2c = jnp.clip(k2, 0, 2 * sr_dist)
+        keep = jnp.zeros_like(live)
+        for c in range(1, nclust + 1):
+            thr = T[c - 1][k2c]
+            keep = keep | (((c1 == c) | (c2 == c)) & (mi >= thr))
+        return (keep & live).sum(dtype=jnp.int32)[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("b"), P(), P(), P()), out_specs=P("b"),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_local_candidates(mesh_key: int, B: int, g: int, sr_dist: int,
+                            nclust: int, cap: int):
+    """Shard-local candidate compaction: each device packs its own
+    (gi, gj, mi-bits) rows; the host truncates each device's slice to
+    its count and concatenates.  Emission order is irrelevant —
+    candidates_to_tables re-sorts into the canonical order."""
+    from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
+
+    mesh = _MESH_STORE[mesh_key]
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local(segs, pos, paint, T):
+        k2, mi, c1, c2, gi, gj, live = _flat_segments(
+            segs, pos, paint, B, g, sr_dist, None
+        )
+        k2c = jnp.clip(k2, 0, 2 * sr_dist)
+        keep = jnp.zeros_like(live)
+        for c in range(1, nclust + 1):
+            thr = T[c - 1][k2c]
+            keep = keep | (((c1 == c) | (c2 == c)) & (mi >= thr))
+        keep = keep & live
+        count = keep.sum(dtype=jnp.int32)
+        (idx,) = jnp.nonzero(keep, size=cap, fill_value=0)
+        u = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+            x.astype(jnp.int32) if x.dtype != jnp.float32 else x,
+            jnp.uint32,
+        )
+        return (
+            jnp.stack([u(gi[idx]), u(gj[idx]), u(mi[idx])], 1),
+            count[None],
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("b"), P(), P(), P()),
+            out_specs=(P("b"), P("b")),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Host side: exact f64 fits from the pulled stats, thresholds, tables
 # --------------------------------------------------------------------------
 def fits_from_group_stats(ns: np.ndarray, xlo: np.ndarray, xhi: np.ndarray,
@@ -396,6 +640,43 @@ class DeviceSrReduction:
     stats: Dict[str, float]
 
 
+def _pull(x) -> np.ndarray:
+    """One device->host pull, recorded on the active PullRecorder."""
+    from ldweaver_tpu.utils.relay_stats import record_pull
+
+    t0 = time.time()
+    try:
+        return np.asarray(x)
+    finally:
+        record_pull(time.time() - t0)
+
+
+def _pull_big(arr, n_streams: int = 8, min_bytes: int = 16 << 20):
+    """Pull a large replicated device array over several CONCURRENT
+    streams.  The relay multiplexes device->host copies (3 concurrent
+    256 MB pulls measured 40 MB/s aggregate vs 9 MB/s serial —
+    spmd_sweep module docstring); the r4 bench spent 139.7 s pulling the
+    100 MB candidate buffer on one stream.  Row-count is pow2 by
+    construction (the candidate cap), so the equal slices reuse one
+    compiled slice program per cap value."""
+    import jax
+
+    nbytes = arr.size * arr.dtype.itemsize
+    k = min(n_streams, max(1, int(nbytes // min_bytes)), arr.shape[0])
+    if k <= 1 or jax.process_count() > 1:
+        return _pull(arr)
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows = arr.shape[0]
+    step = rows // k
+    parts = [arr[i * step : (i + 1) * step] for i in range(k)]
+    if k * step < rows:
+        parts.append(arr[k * step :])
+    with ThreadPoolExecutor(max_workers=len(parts)) as ex:
+        outs = list(ex.map(_pull, parts))
+    return np.concatenate(outs, axis=0)
+
+
 def _next_pow2(n: int, lo: int = 1 << 14) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
@@ -405,11 +686,21 @@ def run_device_reduction(
     ranked_pos: np.ndarray, paint_sorted: np.ndarray,
     B: int, nb: int, g: int, sr_dist: int, nclust: int, total_sr: int,
     cap0: Optional[int] = None,
+    mode: str = "flat",
+    seg_chunks=None,
+    pos_blocks=None,
+    part_budget_bytes: Optional[int] = None,
 ) -> DeviceSrReduction:
     """Run both device passes + the host fit, returning candidate tables
     in canonical order.  Safe to call from a worker thread (pure jax
     dispatch + pulls + numpy); collectives live INSIDE the compiled
-    programs, issued in one deterministic order."""
+    programs, issued in one deterministic order.
+
+    mode="flat": the single-pass path (replicates the flat link arrays;
+    bounded by one device's HBM).  mode="part": the grid-partitioned
+    >HBM path — requires seg_chunks, pos_blocks and part_budget_bytes;
+    byte-identical outputs by construction (disjoint exhaustive ranges,
+    identical group multisets)."""
     from ldweaver_tpu.parallel.fast_sweep import _MESH_STORE
 
     mesh_key = id(mesh)
@@ -425,12 +716,45 @@ def run_device_reduction(
         ]
         return DeviceSrReduction(fits={}, tables=empty, stats=stats)
 
+    nsh = mesh.devices.size
     t0 = time.time()
-    stats_fn = _build_group_stats(mesh_key, B, int(g), int(sr_dist), nclust)
-    sbuf = np.asarray(stats_fn(segs, pos_dev, paint_dev))  # ONE pull
-    ns = sbuf[0].astype(np.int32)
-    xlo = sbuf[1].copy().view(np.float32)
-    xhi = sbuf[2].copy().view(np.float32)
+    if mode == "part":
+        assert seg_chunks is not None and pos_blocks is not None
+        bounds, caps = partition_plan(
+            seg_chunks, nsh, pos_blocks, g, sr_dist,
+            part_budget_bytes or (1 << 30),
+        )
+        grid_n = 2 * sr_dist - 1
+        ns = np.zeros((nclust, grid_n), np.int32)
+        xlo = np.zeros((nclust, grid_n), np.float32)
+        xhi = np.zeros((nclust, grid_n), np.float32)
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            if i == len(bounds) - 2:
+                hi = 2 * sr_dist  # last range is right-inclusive to the
+                # grid end (grid keys are 1 .. 2*sr_dist - 1)
+            cap = int(caps[i].max())
+            if cap == 0:
+                continue  # host-proven empty range
+            buf_d = _build_part_compact(
+                mesh_key, B, int(g), int(sr_dist), lo, hi, cap
+            )(segs, pos_dev, paint_dev)
+            sbuf = _pull(
+                _build_part_stats(mesh_key, lo, hi, nclust)(buf_d)
+            )
+            sl = slice(lo - 1, hi - 1)  # grid index = k2 - 1
+            ns[:, sl] = sbuf[0].view(np.int32)
+            xlo[:, sl] = sbuf[1].view(np.float32)
+            xhi[:, sl] = sbuf[2].view(np.float32)
+        stats["sr_partitions"] = len(bounds) - 1
+    else:
+        stats_fn = _build_group_stats(
+            mesh_key, B, int(g), int(sr_dist), nclust
+        )
+        sbuf = _pull(stats_fn(segs, pos_dev, paint_dev))  # ONE pull
+        ns = sbuf[0].astype(np.int32)
+        xlo = sbuf[1].copy().view(np.float32)
+        xhi = sbuf[2].copy().view(np.float32)
     stats["bg_stats_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
@@ -439,37 +763,44 @@ def run_device_reduction(
     stats["bg_fit_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    # count first (a scalar pull), then compact at a cap sized from the
-    # TRUE count: pow2 rounding bounds pull padding at 2x, vs the 4-8x a
-    # worst-case 12.5%-of-links guess paid (402 MB pulled for 94 MB live
-    # at the r4 bench shape).  The count program's compile is a one-off
-    # amortised by the persistent compile cache.
-    if cap0:
-        cap = cap0
-    else:
-        count_fn = _build_cand_count(mesh_key, B, int(g), int(sr_dist),
-                                     nclust)
-        pre_count = int(np.asarray(count_fn(segs, pos_dev, paint_dev, T)))
-        stats["cand_precount_s"] = round(time.time() - t0, 2)
-        cap = _next_pow2(pre_count)
-    retries = 0
-    while True:
-        cand_fn = _build_candidates(
-            mesh_key, B, int(g), int(sr_dist), nclust, cap
+    if mode == "part":
+        gi, gj, mi, count, retries = _candidates_sharded(
+            mesh_key, segs, pos_dev, paint_dev, T, B, g, sr_dist, nclust,
+            nsh, stats, t0,
         )
-        buf_d, cnt_d = cand_fn(segs, pos_dev, paint_dev, T)
-        count = int(np.asarray(cnt_d))
-        if count <= cap:
-            break
-        cap = _next_pow2(count)
-        retries += 1
-    buf = np.asarray(buf_d)  # ONE pull carries (gi, gj, mi bits)
-    gi = buf[:, 0].astype(np.int32)
-    gj = buf[:, 1].astype(np.int32)
-    mi = np.ascontiguousarray(buf[:, 2]).view(np.float32)
+    else:
+        # count first (a scalar pull), then compact at a cap sized from
+        # the TRUE count: pow2 rounding bounds pull padding at 2x, vs the
+        # 4-8x a worst-case 12.5%-of-links guess paid (402 MB pulled for
+        # 94 MB live at the r4 bench shape).  The count program's compile
+        # is a one-off amortised by the persistent compile cache.
+        if cap0:
+            cap = cap0
+        else:
+            count_fn = _build_cand_count(mesh_key, B, int(g), int(sr_dist),
+                                         nclust)
+            pre_count = int(_pull(count_fn(segs, pos_dev, paint_dev, T)))
+            stats["cand_precount_s"] = round(time.time() - t0, 2)
+            cap = _next_pow2(pre_count)
+        retries = 0
+        while True:
+            cand_fn = _build_candidates(
+                mesh_key, B, int(g), int(sr_dist), nclust, cap
+            )
+            buf_d, cnt_d = cand_fn(segs, pos_dev, paint_dev, T)
+            count = int(_pull(cnt_d))
+            if count <= cap:
+                break
+            cap = _next_pow2(count)
+            retries += 1
+        # the (gi, gj, mi-bits) buffer crosses on concurrent streams
+        buf = _pull_big(buf_d)
+        gi = buf[:count, 0].astype(np.int32)
+        gj = buf[:count, 1].astype(np.int32)
+        mi = np.ascontiguousarray(buf[:count, 2]).view(np.float32)
+        stats["cand_mb"] = round(12 * cap / 1e6, 1)
     stats["bg_cand_s"] = round(time.time() - t0, 2)
     stats["cand_count"] = count
-    stats["cand_mb"] = round(12 * cap / 1e6, 1)
     stats["cand_retries"] = retries
 
     t0 = time.time()
@@ -478,3 +809,46 @@ def run_device_reduction(
     )
     stats["bg_order_s"] = round(time.time() - t0, 2)
     return DeviceSrReduction(fits=fits, tables=tables, stats=stats)
+
+
+def _candidates_sharded(mesh_key, segs, pos_dev, paint_dev, T, B, g,
+                        sr_dist, nclust, nsh, stats, t0):
+    """Shard-local candidate extraction for the partitioned path: counts
+    per device, cap = max, compact, pull, truncate-and-concat."""
+    counts0 = _pull(
+        _build_local_cand_count(mesh_key, B, int(g), int(sr_dist), nclust)(
+            segs, pos_dev, paint_dev, T
+        )
+    ).astype(np.int64)
+    stats["cand_precount_s"] = round(time.time() - t0, 2)
+    cap = _next_pow2(int(counts0.max()))
+    retries = 0
+    while True:
+        buf_d, cnt_d = _build_local_candidates(
+            mesh_key, B, int(g), int(sr_dist), nclust, cap
+        )(segs, pos_dev, paint_dev, T)
+        counts = _pull_sharded_np(cnt_d).astype(np.int64)
+        if counts.max() <= cap:
+            break
+        cap = _next_pow2(int(counts.max()))
+        retries += 1
+    buf = _pull_sharded_np(buf_d)  # [nsh*cap, 3] u32
+    parts = [
+        buf[d * cap : d * cap + int(counts[d])] for d in range(nsh)
+    ]
+    flat = (
+        np.concatenate(parts, axis=0)
+        if parts else np.zeros((0, 3), np.uint32)
+    )
+    gi = flat[:, 0].astype(np.int32)
+    gj = flat[:, 1].astype(np.int32)
+    mi = np.ascontiguousarray(flat[:, 2]).view(np.float32)
+    stats["cand_mb"] = round(12 * cap * nsh / 1e6, 1)
+    return gi, gj, mi, int(counts.sum()), retries
+
+
+def _pull_sharded_np(o) -> np.ndarray:
+    """Host copy of a sharded output (multi-process aware)."""
+    from ldweaver_tpu.parallel.spmd_sweep import _pull_sharded
+
+    return _pull_sharded(o)

@@ -26,14 +26,26 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+_MESH_CACHE: dict = {}
+
+
 def get_mesh(n_devices: Optional[int] = None):
+    """1-D 'b' mesh over the (first n_devices) local devices.  Memoized
+    per device tuple so repeat callers (BLK4 Hamming, BLK5 sweep, the SR
+    reduction) share ONE Mesh object — id()-keyed caches like
+    spmd_sweep._PREP_CACHE depend on that identity."""
     import jax
     from jax.sharding import Mesh
 
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return Mesh(np.array(devs), axis_names=("b",))
+    key = tuple(id(d) for d in devs)
+    mesh = _MESH_CACHE.get(key)
+    if mesh is None:
+        mesh = Mesh(np.array(devs), axis_names=("b",))
+        _MESH_CACHE[key] = mesh
+    return mesh
 
 
 def pad_snp_tensor(codes: np.ndarray, pos: np.ndarray, r: np.ndarray,

@@ -363,7 +363,9 @@ def _ldweaver_body(
             hdw = estimate_hamming_distance_weights(
                 snp_data,
                 cfg.hdw_threshold,
-                backend="numpy" if backend == "numpy" else "jax",
+                backend=backend if backend in ("numpy", "spmd") else "jax",
+                max_blk_sz=cfg.max_blk_sz,
+                n_devices=cfg.n_devices,
             )
             if cfg.save_additional_outputs:
                 np.savez_compressed(hdw_path, hdw=hdw)

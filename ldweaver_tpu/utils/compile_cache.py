@@ -42,20 +42,31 @@ def enable_compilation_cache() -> bool:
     )
     ok = True
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
 
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            # a user already configured the cache programmatically via
+            # jax.config.update — respect it like the env knob above
+            _DONE.append(True)
+            return True
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything: tiny slice/concat programs still pay the
-        # relay's full compile round trip, so no entry is too small
-        for key, val in (
-            ("jax_persistent_cache_min_compile_time_secs", 0.0),
-            ("jax_persistent_cache_min_entry_size_bytes", -1),
-        ):
-            try:
-                jax.config.update(key, val)
-            except Exception:
-                pass  # older jax: defaults are merely less aggressive
+        # cache everything — but only where it pays: on the relay'd TPU
+        # a tiny slice/concat program still costs a full 15-40 s compile
+        # round trip, so no entry is too small there.  CPU backends (the
+        # test suite) compile those helpers in milliseconds; caching each
+        # per-shape retrace (e.g. _build_lr_concat's per-row-pattern
+        # traces) would only grow the dir without bound and add
+        # serialization I/O, so they keep JAX's defaults (ADVICE r4).
+        if jax.default_backend() != "cpu":
+            for key, val in (
+                ("jax_persistent_cache_min_compile_time_secs", 0.0),
+                ("jax_persistent_cache_min_entry_size_bytes", -1),
+            ):
+                try:
+                    jax.config.update(key, val)
+                except Exception:
+                    pass  # older jax: defaults are merely less aggressive
     except Exception:
         ok = False
     _DONE.append(ok)

