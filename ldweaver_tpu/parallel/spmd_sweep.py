@@ -1174,9 +1174,12 @@ def spmd_blk5_sweep(
     # segment-granular resume (multi-process runs skip it: per-host disk
     # state cannot be assumed shared or consistent across ranks)
     # device-mode LR drains group this many segments per pull (round
-    # trips are the dominant and most variable relay cost); 1 restores
-    # strict per-segment pulls (and the tightest crash granularity)
-    pull_chunk = max(1, int(os.environ.get("LDW_SPMD_PULL_CHUNK", "8")))
+    # trips are the dominant and most variable relay cost; the byte-cap
+    # flush below still bounds un-pulled HBM at ~out_budget, so the
+    # count cap can be generous — at the bench shape 32 turns 3 pulls
+    # into 1); 1 restores strict per-segment pulls (and the tightest
+    # crash granularity)
+    pull_chunk = max(1, int(os.environ.get("LDW_SPMD_PULL_CHUNK", "32")))
     chunk_pend: list = []
     chunk_bytes = 0
     seg_ckpt = None

@@ -119,6 +119,8 @@ def ldweaver(
             if self in open_stages:
                 open_stages.remove(self)
 
+    _stage.timings = timings  # body-side access (e.g. blk5_phases)
+
     # ---- sanity checks (R/BacGWES.R:99-124)
     if (gbk_path is None) == (gff3_path is None):
         raise ValueError("Either gbk_path or gff3_path must be provided")
@@ -382,10 +384,12 @@ def _ldweaver_body(
             sr_df = readers.read_short_range_links(sr_save_path)
         else:
             print("Commencing MI computation")
+            _blk5_phases: dict = {}
             sr_links = perform_mi_computation(
                 snp_data,
                 hdw,
                 cds_var,
+                phase_timings=_blk5_phases,
                 lr_save_path=lr_save_path,
                 sr_save_path=sr_save_path,
                 plt_folder=dset,
@@ -403,6 +407,12 @@ def _ldweaver_body(
                 pipeline_depth=cfg.pipeline_depth,
                 n_devices=cfg.n_devices,
             )
+            if _blk5_phases:
+                # BLK5's phase split (sweep/background/aracne + the SPMD
+                # dispatch/pull/emit stats and per-pull relay-weather
+                # histogram) rides along in timings.json so every
+                # committed e2e artifact separates code from weather
+                _stage.timings["blk5_phases"] = _blk5_phases
             sr_df = pd.DataFrame(
                 dict(
                     clust_c=sr_links.clust_c,
