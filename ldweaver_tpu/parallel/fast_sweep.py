@@ -687,12 +687,13 @@ def fast_lr_topk(
         flat_args = []
         for bidx, pairs, (mv_d, ms_d, mx_d) in pending:
             flat_args.extend([mv_d, ms_d, mx_d])
-        mv_m, mb_m, ms_m, mx_m = merge(*flat_args)
+        fused_m = merge(*flat_args)
 
-    mv = np.asarray(mv_m)
-    mb = np.asarray(mb_m).astype(np.int64)
-    ms = np.asarray(ms_m).astype(np.int64)
-    mx = np.asarray(mx_m).astype(np.int64)
+    fused = np.asarray(fused_m)  # ONE pull ends the sweep
+    mv = np.ascontiguousarray(fused[0]).view(np.float32)
+    mb = np.ascontiguousarray(fused[1]).view(np.int32).astype(np.int64)
+    ms = np.ascontiguousarray(fused[2]).view(np.int32).astype(np.int64)
+    mx = np.ascontiguousarray(fused[3]).view(np.int32).astype(np.int64)
     keep = np.isfinite(mv)
     mv, mb, ms, mx = mv[keep], mb[keep], ms[keep], mx[keep]
     pairs_by_bucket = {bidx: pairs for bidx, pairs, _ in pending}
@@ -937,6 +938,10 @@ def _build_topk_merge(n_buckets: int, k_each: int, topk: int):
         s = jnp.concatenate(ss)
         x = jnp.concatenate(xs)
         out_v, sel = jax.lax.top_k(v, min(topk, v.shape[0]))
-        return out_v, bcat[sel], s[sel], x[sel]
+        # ONE fused u32 [4, topk] buffer: the relay charges a full round
+        # trip per pull, and four small pulls were ~4x the latency of one
+        # (bit-exact unpack on host via .view)
+        u = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint32)  # noqa: E731
+        return jnp.stack([u(out_v), u(bcat[sel]), u(s[sel]), u(x[sel])])
 
     return jax.jit(merge)

@@ -183,7 +183,16 @@ def sr_cap_ladder(cap_top: int, lo: int = 1 << 15) -> Tuple[int, ...]:
 def sr_cap_class(count: int, ladder: Tuple[int, ...]) -> int:
     """Smallest ladder capacity >= count (tiles sharing a class share one
     compiled program; BOTH drivers use this rule so every tile compiles
-    the identical `_extract_body` — the byte-identity invariant)."""
+    the identical `_extract_body` — the byte-identity invariant).
+
+    count == 0 maps to a dedicated ZERO class: the median tile holds no
+    SR pair at all (r-stratified order concentrates them near the strata
+    diagonals), and SR compaction is the single most expensive piece of
+    the extraction tile (scripts/ab_extract.py: 88-162 ms of a 161 ms
+    tile) — skipping it where the host PROVES emptiness is an ~8x tile
+    speedup for the majority class."""
+    if count == 0:
+        return 0
     for c in ladder:
         if count <= c:
             return c
@@ -238,11 +247,34 @@ def _extract_body(
     sr_ok = ok & (lens <= sr_dist)
     lr_ok = ok & (lens > sr_dist)
 
-    # ---- SR: exact row-major compaction into the host-proven cap
+    # ---- SR: exact row-major compaction into the host-proven cap.
+    # The device count rides along as the exactness cross-check even for
+    # the zero class (emit asserts it equals the host's window count).
     n_sr = sr_ok.sum().astype(jnp.int32)
-    (sr_idx,) = jnp.nonzero(sr_ok.ravel(), size=P_sr, fill_value=0)
-    sr_idx = sr_idx.astype(jnp.int32)
-    sr_vals = mi.ravel()[sr_idx]
+    if P_sr == 0:
+        # host-proven empty tile: skip the compaction entirely — it is
+        # the dominant cost of the extraction tile (ab_extract.py)
+        sr_idx = jnp.zeros((0,), jnp.int32)
+        sr_vals = jnp.zeros((0,), mi.dtype)
+    else:
+        # cumsum + scatter: output identical to
+        # jnp.nonzero(size=P_sr, fill_value=0) — ascending flat indices
+        # in slots 0..n_sr-1, zeros beyond — but TPU nonzero lowers to a
+        # GLOBAL B^2-element sort (162 ms/tile at B=4096) while the
+        # prefix-sum + unique-index scatter measures 88 ms
+        # (scripts/ab_extract.py)
+        flat = sr_ok.ravel()
+        dest = jnp.where(
+            flat, jnp.cumsum(flat.astype(jnp.int32)) - 1, P_sr
+        )  # masked-out slots land out of bounds and are dropped
+        sr_idx = (
+            jnp.zeros(P_sr, jnp.int32)
+            .at[dest]
+            .set(
+                jnp.arange(block * block, dtype=jnp.int32), mode="drop"
+            )
+        )
+        sr_vals = mi.ravel()[sr_idx]
 
     # ---- LR: exact two-stage top-K + exactness certificate.  Unlike the
     # LR-only sweep's free chunked-max stage (1 candidate per 128-chunk —
