@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -769,19 +770,26 @@ def run_device_reduction(
             nsh, stats, t0,
         )
     else:
-        # count first (a scalar pull), then compact at a cap sized from
-        # the TRUE count: pow2 rounding bounds pull padding at 2x, vs the
-        # 4-8x a worst-case 12.5%-of-links guess paid (402 MB pulled for
-        # 94 MB live at the r4 bench shape).  The count program's compile
-        # is a one-off amortised by the persistent compile cache.
+        # Cap sizing.  Candidates are the positive-residual links against
+        # the q95 fit — ~5% of live links by construction (the fit tracks
+        # the 95th percentile).  The default caps at pow2(8% of
+        # total_sr): ~1.6x headroom above typical, bounded 2x padding
+        # after pow2 — and SKIPS the dedicated count round trip the r4
+        # design paid (a full elementwise pass + a scalar pull on the
+        # critical path: 26-46 s at measured relay weather).  The
+        # compaction's own count certifies the cap; a rare overflow
+        # retries once at the exact count.  LDW_SR_PRECOUNT=1 restores
+        # the count-first sizing (tightest pull bytes).
         if cap0:
             cap = cap0
-        else:
+        elif os.environ.get("LDW_SR_PRECOUNT") == "1":
             count_fn = _build_cand_count(mesh_key, B, int(g), int(sr_dist),
                                          nclust)
             pre_count = int(_pull(count_fn(segs, pos_dev, paint_dev, T)))
             stats["cand_precount_s"] = round(time.time() - t0, 2)
             cap = _next_pow2(pre_count)
+        else:
+            cap = _next_pow2(max(1 << 17, int(0.08 * total_sr)))
         retries = 0
         while True:
             cand_fn = _build_candidates(
