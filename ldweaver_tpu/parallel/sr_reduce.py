@@ -801,12 +801,18 @@ def run_device_reduction(
                 break
             cap = _next_pow2(count)
             retries += 1
-        # the (gi, gj, mi-bits) buffer crosses on concurrent streams
-        buf = _pull_big(buf_d)
+        # the count crossed first (scalar), so the big (gi, gj, mi-bits)
+        # buffer is sliced to pow2(count) ON DEVICE before pulling —
+        # tight pull bytes without the r4 count-first pass (pow2
+        # granularity so the slice program recompiles only when the
+        # live count crosses a power of two) — then crosses on
+        # concurrent streams
+        nkeep = min(cap, _next_pow2(count, lo=1 << 13))
+        buf = _pull_big(buf_d[:nkeep] if nkeep < cap else buf_d)
         gi = buf[:count, 0].astype(np.int32)
         gj = buf[:count, 1].astype(np.int32)
         mi = np.ascontiguousarray(buf[:count, 2]).view(np.float32)
-        stats["cand_mb"] = round(12 * cap / 1e6, 1)
+        stats["cand_mb"] = round(12 * nkeep / 1e6, 1)
     stats["bg_cand_s"] = round(time.time() - t0, 2)
     stats["cand_count"] = count
     stats["cand_retries"] = retries
