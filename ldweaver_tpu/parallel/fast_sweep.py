@@ -894,10 +894,7 @@ def _fast_lr_topk_streaming(
         # also tolerates one directly).
         upload_pool.shutdown(wait=False, cancel_futures=True)
         for c in caches:
-            c._pending = {
-                bi: f for bi, f in c._pending.items()
-                if not (f.cancelled() or (f.done() and f.exception()))
-            }
+            c.purge_dead_pending()
 
     # cross-device merge: pull the nd small carries, combine on host
     mv = np.concatenate([np.asarray(c[0]) for c in carries])

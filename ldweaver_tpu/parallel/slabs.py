@@ -170,6 +170,15 @@ class SlabCache:
             self._pinned.difference_update(int(b) for b in blocks)
         self._evict()
 
+    def purge_dead_pending(self) -> None:
+        """Drop cancelled/errored prefetch futures so a later get() on a
+        reused cache re-uploads as a plain miss (called by the streaming
+        sweep's cleanup after shutting down its prefetch pool)."""
+        self._pending = {
+            bi: f for bi, f in self._pending.items()
+            if not (f.cancelled() or (f.done() and f.exception()))
+        }
+
     def clear(self) -> None:
         self._cache.clear()
         self._pinned.clear()

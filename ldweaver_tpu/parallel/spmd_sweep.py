@@ -787,9 +787,15 @@ def prepare_spmd_codes(snp_data, block: int, n_devices: Optional[int]):
     mesh = get_mesh(n_devices)
     mesh_key = id(mesh)
     _MESH_STORE[mesh_key] = mesh
-    crc = zlib.crc32(
-        np.ascontiguousarray(snp_data.codes).view(np.uint8).ravel()
-    )
+    # fingerprint EVERY stratify input, not just codes: a run whose
+    # positions file changed under identical code bytes must not reuse a
+    # stale stratification (same rule as the segment-checkpoint CRC)
+    crc = 0
+    for a in (snp_data.codes, snp_data.pos, snp_data.r,
+              snp_data.acgtn_table):
+        crc = zlib.crc32(
+            np.ascontiguousarray(a).view(np.uint8).ravel(), crc
+        )
     key = (crc, snp_data.codes.shape, int(block), mesh_key)
     hit = _PREP_CACHE.get(key)
     if hit is not None:
@@ -843,12 +849,23 @@ def hamming_weights_spmd(
     n_devices: Optional[int] = None, max_nseq: int = 16384,
 ) -> Optional[np.ndarray]:
     """BLK4 on the shared BLK5 upload (see prepare_spmd_codes).  Returns
-    None when the [nseq, nseq] f32 workspace would not comfortably fit
-    (caller falls back to the seq-blocked `hamming_weights_jax`)."""
+    None when the workspace would not comfortably fit — the [nseq, nseq]
+    f32 accumulator AND the [nseq, nsnp] bf16 one-hot operands (which
+    scale with nsnp, ~4.3 GB at 16k seqs x 131k SNPs) — so the caller
+    falls back to the seq-blocked `hamming_weights_jax`."""
     nseq = snp_data.nseq
     if nseq > max_nseq:
         return None
+    from ldweaver_tpu.parallel.slabs import auto_budget
+
     block = fast_block_size(snp_data.nsnp, max_blk_sz)
+    hbm = auto_budget() or (8 << 30)
+    nsnp_pad = snp_data.nsnp + ((-snp_data.nsnp) % block)
+    # live set: codes u8 + 2 bf16 one-hot operands (m and m.T alias at
+    # the HLO level but budget both) + f32 acc
+    est = nseq * nsnp_pad * (1 + 2 * 2) + 4 * nseq * nseq
+    if est > hbm * 0.45:
+        return None
     mesh, mesh_key, ranked, codes_dev = prepare_spmd_codes(
         snp_data, block, n_devices
     )
@@ -1116,7 +1133,22 @@ def spmd_blk5_sweep(
     elif sr_reduce == "device":
         sr_mode = "flat"  # explicit override: user accepts the budget
     elif sr_reduce == "part":
-        sr_mode = "part" if nsh > 1 else "flat"
+        # partitioning only reduces per-device residency with >1 device;
+        # on one device honour the budget like "auto" (flat-if-fits,
+        # else host) rather than silently replicating an over-budget
+        # table
+        if nsh > 1:
+            sr_mode = "part"
+        else:
+            sr_mode = "flat" if flat_fits else "host"
+            if verbose or sr_mode == "host":
+                print(
+                    f"sr_reduce='part' on a 1-device mesh: using the"
+                    f" {'flat device' if flat_fits else 'HOST-pull'}"
+                    " path instead (partitioning cannot reduce"
+                    " per-device residency without more devices).",
+                    flush=True,
+                )
     else:  # auto
         sr_mode = (
             "flat" if flat_fits else ("part" if part_possible else "host")

@@ -46,11 +46,16 @@ np pairwise summation order, srp, dedup) sees the identical value
 sequence -> sr_links.tsv comes out byte-identical to the host-pull path
 (`core/background.merge_and_sort_sr_links_from_candidates`).
 
-Scale gate: this path keeps the (ladder-padded) SR scan outputs resident
-in HBM, so the driver only takes it when their size fits the device
-budget (`spmd_blk5_sweep` sr_reduce="auto"); beyond that the host-pull
-path remains the fallback.  A key-partitioned all_to_all over the mesh
-is the >HBM scaling design, not yet needed at measured shapes.
+Scale gate: the single-pass programs above REPLICATE the flat link
+arrays, so `spmd_blk5_sweep` takes them only when they fit one device's
+budget.  Past that, on a multi-device mesh, the GRID-PARTITIONED path
+(mode="part", round 5) splits the k2 grid into ranges sized from exact
+host-side counts, compacts each range SHARD-LOCALLY (no replication)
+and sorts at range scale — byte-identical outputs by construction
+(disjoint exhaustive ranges preserve every group multiset;
+tests/test_sr_reduce.py::test_partitioned_reduce_byte_identical).  Only
+when neither fits does the host-pull fallback remain, and it warns
+loudly.
 """
 
 from __future__ import annotations
@@ -113,9 +118,9 @@ def _flat_segments(segs, pos, paint, B: int, g: int, sr_dist: int,
     free on every device.  GSPMD's distributed lowering of sort/nonzero
     over the P('b')-sharded inputs is a rendezvous storm on the virtual
     CPU mesh (measured 156 s on a 1268-SNP toy) and no faster on real
-    hardware at these sizes; a key-partitioned all_to_all is the >HBM
-    scaling path (module docstring).  nsh == 1 — the measured chip —
-    makes this a no-op."""
+    hardware at these sizes; the grid-partitioned shard-local passes are
+    the >HBM scaling path (module docstring).  nsh == 1 — the measured
+    chip — makes this a no-op."""
     import jax
     import jax.numpy as jnp
 
@@ -350,7 +355,21 @@ def partition_plan(
         cum = np.stack([counts_at(int(b)) for b in bounds])  # [P+1, nsh]
         caps = cum[1:] - cum[:-1]  # [P, nsh]
         worst = int(caps.max(axis=1).max()) if caps.size else 0
-        if worst * nsh * bytes_per_link <= part_budget_bytes or P >= 256:
+        if worst * nsh * bytes_per_link <= part_budget_bytes:
+            return bounds, caps
+        if P >= 256 or len(bounds) - 1 >= 2 * sr_dist - 1:
+            # a single grid cell (one distance key) holds more links
+            # than the budget — ranges cannot split below one cell.
+            # Proceed (the replicated range buffer will exceed the
+            # budget) but say so LOUDLY instead of OOMing silently.
+            print(
+                f"WARNING: SR reduction partition {worst * nsh * bytes_per_link / 1e9:.1f} GB"
+                f" exceeds the {part_budget_bytes / 1e9:.1f} GB range"
+                " budget even at one-distance-key granularity; the"
+                " grid-partitioned pass may exhaust device memory —"
+                " consider more devices or sr_reduce='host'.",
+                flush=True,
+            )
             return bounds, caps
         P *= 2
 
@@ -829,6 +848,8 @@ def _candidates_sharded(mesh_key, segs, pos_dev, paint_dev, T, B, g,
                         sr_dist, nclust, nsh, stats, t0):
     """Shard-local candidate extraction for the partitioned path: counts
     per device, cap = max, compact, pull, truncate-and-concat."""
+    from ldweaver_tpu.parallel.spmd_sweep import _pull_sharded
+
     counts0 = _pull(
         _build_local_cand_count(mesh_key, B, int(g), int(sr_dist), nclust)(
             segs, pos_dev, paint_dev, T
@@ -841,12 +862,12 @@ def _candidates_sharded(mesh_key, segs, pos_dev, paint_dev, T, B, g,
         buf_d, cnt_d = _build_local_candidates(
             mesh_key, B, int(g), int(sr_dist), nclust, cap
         )(segs, pos_dev, paint_dev, T)
-        counts = _pull_sharded_np(cnt_d).astype(np.int64)
+        counts = _pull_sharded(cnt_d).astype(np.int64)
         if counts.max() <= cap:
             break
         cap = _next_pow2(int(counts.max()))
         retries += 1
-    buf = _pull_sharded_np(buf_d)  # [nsh*cap, 3] u32
+    buf = _pull_sharded(buf_d)  # [nsh*cap, 3] u32
     parts = [
         buf[d * cap : d * cap + int(counts[d])] for d in range(nsh)
     ]
@@ -860,9 +881,3 @@ def _candidates_sharded(mesh_key, segs, pos_dev, paint_dev, T, B, g,
     stats["cand_mb"] = round(12 * cap * nsh / 1e6, 1)
     return gi, gj, mi, int(counts.sum()), retries
 
-
-def _pull_sharded_np(o) -> np.ndarray:
-    """Host copy of a sharded output (multi-process aware)."""
-    from ldweaver_tpu.parallel.spmd_sweep import _pull_sharded
-
-    return _pull_sharded(o)

@@ -58,7 +58,15 @@ def enable_compilation_cache() -> bool:
         # per-shape retrace (e.g. _build_lr_concat's per-row-pattern
         # traces) would only grow the dir without bound and add
         # serialization I/O, so they keep JAX's defaults (ADVICE r4).
-        if jax.default_backend() != "cpu":
+        # Decide from the CONFIGURED platform string, never from
+        # jax.default_backend(): initializing the backend here would make
+        # a numpy-only pipeline run claim the relay'd TPU (and block on
+        # the pool if another client holds it — CLAUDE.md).
+        platforms = (
+            jax.config.jax_platforms
+            or os.environ.get("JAX_PLATFORMS", "")
+        )
+        if "cpu" not in str(platforms).split(","):
             for key, val in (
                 ("jax_persistent_cache_min_compile_time_secs", 0.0),
                 ("jax_persistent_cache_min_entry_size_bytes", -1),
