@@ -130,17 +130,29 @@ def main():
     }
     cpu_dir = os.path.join(workdir, "cpu")
     tpu_dir = os.path.join(workdir, "tpu")
-    for plat, d in (("cpu", cpu_dir), ("tpu", tpu_dir)):
+    tpu2_dir = os.path.join(workdir, "tpu2")  # on-chip repeat
+    for plat, d in (
+        ("cpu", cpu_dir), ("tpu", tpu_dir), ("tpu", tpu2_dir)
+    ):
         # strictly serial: one TPU client at a time; reuse existing legs
+        tag = os.path.basename(d) + "_leg"
         if os.path.exists(os.path.join(d, "sr_links.tsv")):
-            result[f"{plat}_leg"] = json.load(
-                open(os.path.join(d, "leg.json"))
-            )
+            result[tag] = json.load(open(os.path.join(d, "leg.json")))
             continue
         os.makedirs(d, exist_ok=True)
-        result[f"{plat}_leg"] = run_leg(plat, d)
+        result[tag] = run_leg(plat, d)
         with open(os.path.join(d, "leg.json"), "wt") as fh:
-            json.dump(result[f"{plat}_leg"], fh)
+            json.dump(result[tag], fh)
+
+    # in-backend bitwise reproducibility ON THE CHIP (the CPU-side
+    # guarantee is already test-suite-proven): two independent TPU
+    # processes must emit byte-identical TSVs
+    result["tpu_repeat_sr_bytes_equal"] = open(
+        os.path.join(tpu_dir, "sr_links.tsv")
+    ).read() == open(os.path.join(tpu2_dir, "sr_links.tsv")).read()
+    result["tpu_repeat_lr_bytes_equal"] = open(
+        os.path.join(tpu_dir, "lr_links.tsv")
+    ).read() == open(os.path.join(tpu2_dir, "lr_links.tsv")).read()
 
     # ---- SR table: set + ranking + value agreement over shared pairs
     sr_c, key_c, mi_c, srp_c, ar_c = read_sr(
@@ -194,7 +206,9 @@ def main():
     nsr = max(result["sr_rows_cpu"], 1)
     nlr = max(result["lr_rows_cpu"], 1)
     result["ok"] = bool(
-        result["sr_top10_rank_equal"]
+        result["tpu_repeat_sr_bytes_equal"]
+        and result["tpu_repeat_lr_bytes_equal"]
+        and result["sr_top10_rank_equal"]
         and result["sr_top100_set_equal"]
         and result["sr_only_cpu"] + result["sr_only_tpu"] <= 0.01 * nsr
         and result["sr_mi_max_abs_diff"] < 5e-4
