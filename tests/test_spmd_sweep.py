@@ -231,6 +231,81 @@ def test_spmd_scale_dense_lr():
     assert sum(r[0].size for r in rows_s) > 1000  # dense LR actually kept
 
 
+def test_zero_sr_class_byte_identical(tmp_path):
+    """Tiles whose host window count proves ZERO SR pairs take the
+    dedicated P_sr=0 cap class (skipping the SR compaction — the
+    dominant extraction cost on TPU, scripts/ab_extract.py); outputs
+    must stay byte-identical to the fast path.  A tiny sr_dist forces
+    most tiles into the zero class (the regular fixtures never produce
+    one — every tile has some SR pair at their densities)."""
+    import numpy as np
+
+    from ldweaver_tpu.core.snp_tensor import SnpData
+    from ldweaver_tpu.parallel.fast_sweep import stratify
+    from ldweaver_tpu.parallel.spmd_sweep import (
+        _next_pow2, sr_cap_class, sr_cap_ladder, sr_pair_counts,
+    )
+
+    # ALL-biallelic sites (one r stratum -> blocks are genomically
+    # contiguous ranges) in three position clusters separated by far
+    # more than sr_dist: the off-diagonal tiles then hold exactly zero
+    # SR pairs, like the off-strata tiles of real data
+    rng = np.random.default_rng(6)
+    nsnp, nseq, g, sr_dist = 2400, 32, 600_000, 500
+    clusters = [
+        np.sort(rng.choice(np.arange(lo, lo + 40_000), 800, replace=False))
+        for lo in (10_000, 210_000, 410_000)
+    ]
+    pos = np.concatenate(clusters).astype(np.int64)
+    major = rng.integers(0, 4, size=nsnp)
+    minor = (major + rng.integers(1, 4, size=nsnp)) % 4
+    maf = rng.uniform(0.1, 0.5, size=nsnp)
+    u = rng.random((nseq, nsnp))
+    codes = np.where(
+        u < maf[None, :], minor[None, :], major[None, :]
+    ).astype(np.uint8)
+    # force true biallelicity (both alleles present at every site)
+    codes[0] = major
+    codes[1] = minor
+    acgtn = np.zeros((5, nsnp), np.int64)
+    for k in range(5):
+        acgtn[k] = (codes == k).sum(axis=0)
+    uqe = (acgtn > 0).astype(np.uint8).T
+    r = uqe.sum(axis=1).astype(np.int32)
+    assert (r == 2).all()
+    sd = SnpData(
+        codes=codes, pos=pos, g=g,
+        seq_names=[str(i) for i in range(nseq)],
+        acgtn_table=acgtn, uqe=uqe, r=r,
+    )
+    w = rng.uniform(0.05, 0.5, size=nseq)
+
+    ranked = stratify(sd.codes, sd.acgtn_table, sd.pos, sd.r, 1000)
+    valid = np.arange(ranked.pos.size) < sd.nsnp
+    cnts = sr_pair_counts(ranked, valid, sd.g, sr_dist)
+    ladder = sr_cap_ladder(_next_pow2(int(cnts.max())))
+    nb = ranked.rank_codes.shape[1] // 1000
+    ncls0 = sum(
+        sr_cap_class(int(cnts[i, j]), ladder) == 0
+        for i in range(nb) for j in range(i, nb)
+    )
+    assert ncls0 >= 1, "fixture no longer produces zero-SR tiles"
+
+    cds_var = _cds_var(sd, nclust=2, seed=4)
+    fast, sr_f, lr_f = _run(
+        sd, w, cds_var, tmp_path, "z_fast", "fast",
+        sr_dist=sr_dist, max_blk_sz=1000,
+    )
+    spmd, sr_s, lr_s = _run(
+        sd, w, cds_var, tmp_path, "z_spmd", "spmd",
+        sr_dist=sr_dist, max_blk_sz=1000,
+    )
+    assert sr_f  # non-trivial output
+    assert sr_s == sr_f
+    assert lr_s == lr_f
+    assert np.array_equal(spmd.srp_max, fast.srp_max)
+
+
 def test_spmd_fallback_on_unselective_retention(toy_snp_data, toy_hdw,
                                                 tmp_path):
     """lr_prob == 0 (retain everything) keeps every LR pair; tiles whose
