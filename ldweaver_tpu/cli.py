@@ -64,6 +64,12 @@ def build_parser():
     run.add_argument("--n-devices", type=int, default=None,
                      help="devices to round-robin fast-path tiles over "
                           "(default: all local devices)")
+    run.add_argument("--sr-reduce", default="auto",
+                     choices=["auto", "device", "part", "host"],
+                     help="where the spmd backend's SR background "
+                          "reduction runs (byte-identical outputs; "
+                          "'auto' picks device / grid-partitioned / "
+                          "host by memory fit)")
 
     lr = sub.add_parser("lr-analyse",
                         help="standalone long-range analysis "
@@ -129,6 +135,7 @@ def main(argv=None):
             device_budget_bytes=args.device_budget_bytes,
             pipeline_depth=args.pipeline_depth,
             n_devices=args.n_devices,
+            sr_reduce=args.sr_reduce,
         )
         ldweaver(
             dset=args.dset,

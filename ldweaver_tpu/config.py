@@ -80,11 +80,20 @@ class LDWeaverConfig:
     # how many tiles the fast sweep dispatches ahead of host extraction
     # (device compute overlaps the host work; 1 = fully synchronous)
     pipeline_depth: int = 4
+    # where the SR background reduction runs for backend='spmd'
+    # (parallel/sr_reduce.py): 'auto' = on device when it fits, the
+    # grid-partitioned path on a multi-device mesh past that, host-pull
+    # (with a loud warning) as the last resort; 'device' / 'part' /
+    # 'host' force a mode.  Outputs are byte-identical across modes.
+    sr_reduce: str = "auto"
 
     def __post_init__(self):
         if self.snp_filt_method not in ("default", "relaxed"):
             warnings.warn("Unknown filtering method, using default...")
             self.snp_filt_method = "default"
+        if self.sr_reduce not in ("auto", "device", "part", "host"):
+            warnings.warn("Unknown sr_reduce mode, using auto...")
+            self.sr_reduce = "auto"
         # clamps mirror R/BacGWES.R:142-179
         self.sr_dist = int(
             min(99999, max(1001, self.sr_dist))

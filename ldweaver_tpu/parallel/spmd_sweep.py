@@ -1016,8 +1016,10 @@ def spmd_blk5_sweep(
     reduces them on device (parallel/sr_reduce.py) — only group stats +
     positive-residual candidates ever leave the chip, and the caller
     finishes with `merge_and_sort_sr_links_from_candidates` (TSVs
-    byte-identical to "host" by construction); "auto" picks "device"
-    when the padded SR outputs fit the device budget."""
+    byte-identical to "host" by construction); "part" forces the
+    grid-partitioned shard-local reduction (the >HBM scale path on a
+    multi-device mesh); "auto" picks device / part / host by memory fit
+    and warns loudly on a host fallback.  All modes are byte-identical."""
     from ldweaver_tpu.parallel.slabs import panel_pair_order
 
     # shared stratify + upload (BLK4 may already have paid for both)

@@ -406,6 +406,7 @@ def _ldweaver_body(
                 device_budget_bytes=cfg.device_budget_bytes,
                 pipeline_depth=cfg.pipeline_depth,
                 n_devices=cfg.n_devices,
+                sr_reduce=cfg.sr_reduce,
             )
             if _blk5_phases:
                 # BLK5's phase split (sweep/background/aracne + the SPMD
